@@ -1,0 +1,297 @@
+"""Device (JAX/XLA/TPU) modular arithmetic on limb-plane field elements.
+
+Field elements are uint32 arrays of shape (..., N_LIMBS) holding 16-bit limbs
+(fields/limbs.py). All functions are shape-polymorphic over leading axes,
+jit-safe, and exact in 32-bit integer arithmetic:
+
+  * limb product bound:  (2^16-1)^2 = 2^32 - 2^17 + 1
+  * CIOS inner step:     t_j + a_i*b_j + c  <=  2^32 - 1   (always fits uint32)
+
+Multiplication uses CIOS Montgomery reduction (result < p when p < R/4, true
+for BN254/BLS12-381 scalar fields), so a single conditional subtraction
+suffices and every output is canonical.
+
+This layer replaces the reference's CPU Montgomery arithmetic in the
+halo2curves fork (SURVEY.md L0; reference consumes it via
+integration/src/prove.rs:1). Designed VPU-first: the 16-wide limb axis lives
+in minor-most lanes; elementwise field ops over n-element vectors map to
+(n, 16) uint32 tiles.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.limbs import LIMB_BITS, LIMB_MASK, N_LIMBS, LimbField
+
+U32 = jnp.uint32
+_MASK = np.uint32(LIMB_MASK)
+_SHIFT = LIMB_BITS
+
+
+def _u32(x) -> jnp.ndarray:
+    return jnp.asarray(x, dtype=U32)
+
+
+def zeros_like_limbs(shape) -> jnp.ndarray:
+    return jnp.zeros((*shape, N_LIMBS), dtype=U32)
+
+
+# --- raw (non-modular) limb add/sub with carry/borrow chains ----------------
+
+
+def _add_raw(a, b):
+    """Limbwise add with carry propagation. Returns (sum_limbs, carry_out)."""
+    out = []
+    c = jnp.zeros(a.shape[:-1], dtype=U32)
+    for j in range(N_LIMBS):
+        s = a[..., j] + b[..., j] + c  # <= 2*(2^16-1)+1 < 2^32
+        out.append(s & _MASK)
+        c = s >> _SHIFT
+    return jnp.stack(out, axis=-1), c
+
+
+def _sub_raw(a, b):
+    """Limbwise a - b with borrow. Returns (diff_limbs, borrow_out in {0,1})."""
+    out = []
+    brw = jnp.zeros(a.shape[:-1], dtype=U32)
+    for j in range(N_LIMBS):
+        # compute in uint32 with wraparound; top bit set iff the true
+        # difference was negative (operands < 2^16, borrow in {0,1})
+        d = a[..., j] - b[..., j] - brw
+        brw = d >> 31
+        out.append(d & _MASK)
+    return jnp.stack(out, axis=-1), brw
+
+
+def _p_const(f: LimbField) -> jnp.ndarray:
+    return jnp.asarray(f.p_limbs, dtype=U32)
+
+
+def _cond_sub_p(f: LimbField, t, extra):
+    """Given t (..., N_LIMBS) plus an `extra` high limb (values in {0,1,2}),
+    return t - p if t + extra*2^256 >= p else t. Assumes t+extra*R < 2p."""
+    p = jnp.broadcast_to(_p_const(f), t.shape)
+    d, brw = _sub_raw(t, p)
+    # subtract succeeds (no net borrow) iff extra > 0 or brw == 0
+    take_d = (extra > 0) | (brw == 0)
+    return jnp.where(take_d[..., None], d, t)
+
+
+# --- modular add / sub / neg -------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=0)
+def add_mod(f: LimbField, a, b):
+    """(a + b) mod p; inputs canonical (< p)."""
+    s, carry = _add_raw(a, b)
+    return _cond_sub_p(f, s, carry)
+
+
+@partial(jax.jit, static_argnums=0)
+def sub_mod(f: LimbField, a, b):
+    """(a - b) mod p; inputs canonical."""
+    d, brw = _sub_raw(a, b)
+    p = jnp.broadcast_to(_p_const(f), d.shape)
+    dp, _ = _add_raw(d, p)
+    return jnp.where((brw > 0)[..., None], dp, d)
+
+
+@partial(jax.jit, static_argnums=0)
+def neg_mod(f: LimbField, a):
+    """(-a) mod p; maps 0 -> 0."""
+    p = jnp.broadcast_to(_p_const(f), a.shape)
+    d, _ = _sub_raw(p, a)
+    return jnp.where(is_zero(a)[..., None], a, d)
+
+
+def is_zero(a):
+    """True where the element is zero (canonical form assumed)."""
+    return jnp.all(a == 0, axis=-1)
+
+
+def eq(a, b):
+    return jnp.all(a == b, axis=-1)
+
+
+def select(mask, a, b):
+    """Elementwise select: mask broadcast over limbs. mask shape = a.shape[:-1]."""
+    return jnp.where(mask[..., None], a, b)
+
+
+# --- Montgomery multiplication (CIOS) ----------------------------------------
+
+
+@partial(jax.jit, static_argnums=0)
+def mont_mul(f: LimbField, a, b):
+    """Montgomery product: a*b*R^{-1} mod p, canonical output.
+
+    CIOS (coarsely integrated operand scanning), i-loop as lax.fori_loop,
+    j-loops unrolled (static N_LIMBS=16). All intermediates fit uint32.
+    """
+    a, b = jnp.broadcast_arrays(a, b)
+    shape = a.shape[:-1]
+    pj = [np.uint32(x) for x in f.p_limbs]
+    n0inv = np.uint32(f.n0inv)
+    bv = [b[..., j] for j in range(N_LIMBS)]
+
+    def body(i, t):
+        ai = jax.lax.dynamic_index_in_dim(a, i, axis=a.ndim - 1, keepdims=False)
+        t = list(t)
+        # t += a_i * b
+        c = jnp.zeros(shape, dtype=U32)
+        for j in range(N_LIMBS):
+            s = t[j] + ai * bv[j] + c
+            t[j] = s & _MASK
+            c = s >> _SHIFT
+        s = t[N_LIMBS] + c
+        t[N_LIMBS] = s & _MASK
+        t[N_LIMBS + 1] = s >> _SHIFT
+        # m = t0 * n0inv mod 2^16 ; t += m * p ; t >>= 16
+        m = (t[0] * n0inv) & _MASK
+        c = (t[0] + m * pj[0]) >> _SHIFT
+        for j in range(1, N_LIMBS):
+            s = t[j] + m * pj[j] + c
+            t[j - 1] = s & _MASK
+            c = s >> _SHIFT
+        s = t[N_LIMBS] + c
+        t[N_LIMBS - 1] = s & _MASK
+        c = s >> _SHIFT
+        t[N_LIMBS] = t[N_LIMBS + 1] + c
+        t[N_LIMBS + 1] = jnp.zeros(shape, dtype=U32)
+        return tuple(t)
+
+    t0 = tuple(jnp.zeros(shape, dtype=U32) for _ in range(N_LIMBS + 2))
+    t = jax.lax.fori_loop(0, N_LIMBS, body, t0)
+    res = jnp.stack(t[:N_LIMBS], axis=-1)
+    return _cond_sub_p(f, res, t[N_LIMBS])
+
+
+def mont_sqr(f: LimbField, a):
+    return mont_mul(f, a, a)
+
+
+def to_mont(f: LimbField, a):
+    """Standard form -> Montgomery form: a*R mod p  (= montmul(a, R^2))."""
+    r2 = jnp.asarray(f.r2_limbs, dtype=U32)
+    return mont_mul(f, a, jnp.broadcast_to(r2, a.shape))
+
+
+def from_mont(f: LimbField, a):
+    """Montgomery form -> standard form: a*R^{-1} mod p (= montmul(a, 1))."""
+    one = np.zeros(N_LIMBS, np.uint32)
+    one[0] = 1
+    return mont_mul(f, a, jnp.broadcast_to(jnp.asarray(one), a.shape))
+
+
+def one_mont(f: LimbField, shape=()) -> jnp.ndarray:
+    """Montgomery form of 1 (= R mod p), broadcast to shape (..., N_LIMBS)."""
+    return jnp.broadcast_to(jnp.asarray(f.r_limbs, dtype=U32), (*shape, N_LIMBS))
+
+
+# --- exponentiation / inversion ----------------------------------------------
+
+
+def pow_mont(f: LimbField, a, e: int):
+    """a^e (a in Montgomery form, small static exponent), unrolled."""
+    assert 0 <= e < (1 << 24), "use pow_bits_mont for large exponents"
+    if e == 0:
+        return one_mont(f, a.shape[:-1])
+    acc = a
+    for bit in bin(e)[3:]:
+        acc = mont_mul(f, acc, acc)
+        if bit == "1":
+            acc = mont_mul(f, acc, a)
+    return acc
+
+
+@partial(jax.jit, static_argnums=0)
+def pow_bits_mont(f: LimbField, a, bits):
+    """a^e for e given as a (256,) uint32 bit array, MSB first.
+
+    Single traced square-and-multiply step scanned over the bits: keeps the
+    compiled graph small (two mont_muls) regardless of exponent size.
+    """
+    acc0 = one_mont(f, a.shape[:-1])
+
+    def body(acc, bit):
+        sq = mont_mul(f, acc, acc)
+        sqa = mont_mul(f, sq, a)
+        return jnp.where(bit > 0, sqa, sq), None
+
+    acc, _ = jax.lax.scan(body, acc0, bits)
+    return acc
+
+
+def _exp_bits(e: int) -> np.ndarray:
+    return np.array([(e >> (255 - i)) & 1 for i in range(256)], dtype=np.uint32)
+
+
+_INV_BITS_CACHE: dict[int, np.ndarray] = {}
+
+
+def inv_mont(f: LimbField, a):
+    """a^{-1} in Montgomery form via Fermat (a^(p-2)). inv(0) returns 0."""
+    bits = _INV_BITS_CACHE.get(f.modulus)
+    if bits is None:
+        bits = _exp_bits(f.modulus - 2)
+        _INV_BITS_CACHE[f.modulus] = bits
+    return pow_bits_mont(f, a, jnp.asarray(bits))
+
+
+@partial(jax.jit, static_argnums=0)
+def batch_inv_mont(f: LimbField, a):
+    """Batched inversion along axis 0: (n, N_LIMBS) -> (n, N_LIMBS).
+
+    Montgomery's trick: prefix products (log-depth associative scan), one
+    Fermat inversion, backward sweep. Zeros map to zero (like halo2's
+    batch_invert, which treats zeros as ones and restores them).
+    """
+    assert a.ndim == 2, "batch_inv_mont expects (n, N_LIMBS)"
+    z = is_zero(a)
+    ones = one_mont(f, a.shape[:-1])
+    a_safe = select(z, ones, a)
+    # prefix products via associative scan on leading axis
+    pref = jax.lax.associative_scan(lambda x, y: mont_mul(f, x, y), a_safe, axis=0)
+    total_inv = inv_mont(f, pref[-1])
+    one_vec = one_mont(f)
+
+    def body(carry, idx):
+        # carry = inverse of prefix product up to idx (inclusive)
+        prev = jnp.where(idx == 0, one_vec, pref[jnp.maximum(idx - 1, 0)])
+        inv_elem = mont_mul(f, carry, prev)
+        new_carry = mont_mul(f, carry, a_safe[idx])
+        return new_carry, inv_elem
+
+    idxs = jnp.arange(a.shape[0] - 1, -1, -1)
+    _, invs_rev = jax.lax.scan(body, total_inv, idxs)
+    invs = invs_rev[::-1]
+    return select(z, jnp.zeros_like(a), invs)
+
+
+# --- misc ---------------------------------------------------------------------
+
+
+def cmov(cond, a, b):
+    return select(cond, a, b)
+
+
+@partial(jax.jit, static_argnums=0)
+def reduce_once(f: LimbField, a):
+    """Reduce a value in [0, 2p) to canonical [0, p)."""
+    return _cond_sub_p(f, a, jnp.zeros(a.shape[:-1], dtype=U32))
+
+
+def rand_elements(f: LimbField, rng: np.random.Generator, n: int) -> np.ndarray:
+    """Host helper: n uniform field elements as (n, N_LIMBS) uint32 (standard
+    form, canonical)."""
+    out = []
+    for _ in range(n):
+        x = int.from_bytes(rng.bytes(40), "little") % f.modulus
+        out.append(x)
+    from ..fields.limbs import ints_to_limbs
+
+    return ints_to_limbs(out)

@@ -1,0 +1,29 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Mirrors the reference's test strategy of cheap tiers first (SURVEY.md section
+4): unit tests on CPU here; real-TPU runs happen via bench.py / the driver.
+"""
+import os
+
+# Must be set before jax initializes a backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize force-registers a remote "axon" TPU backend
+# and overrides the platform selection; pin it back to CPU for unit tests
+# (the driver benches on the real chip separately).
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0x5C2011)
