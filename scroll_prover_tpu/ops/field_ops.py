@@ -129,45 +129,69 @@ def select(mask, a, b):
 def mont_mul(f: LimbField, a, b):
     """Montgomery product: a*b*R^{-1} mod p, canonical output.
 
-    CIOS (coarsely integrated operand scanning), i-loop as lax.fori_loop,
-    j-loops unrolled (static N_LIMBS=16). All intermediates fit uint32.
+    Lazy-carry formulation, vectorized over the limb axis (compile-time and
+    op-count friendly vs an unrolled CIOS):
+
+      phase 1: T = a*b as 2*N_LIMBS lazy limbs — per i, the partial product
+        a_i * b is split into lo/hi halves and accumulated WITHOUT carry
+        propagation (each lazy limb is a sum of <= 64 16-bit values < 2^22,
+        far from uint32 overflow).
+      phase 2: word-by-word Montgomery reduction — at step i only position i
+        is normalized (absorb running carry) to extract the exact low 16
+        bits for m_i = t_i * n0inv mod 2^16; m_i * p is accumulated lazily.
+      phase 3: one carry-propagation pass + conditional subtract.
+
+    Result < 2p before the final subtract (p < R/4 holds for BN254 Fq/Fr).
     """
     a, b = jnp.broadcast_arrays(a, b)
-    shape = a.shape[:-1]
-    pj = [np.uint32(x) for x in f.p_limbs]
     n0inv = np.uint32(f.n0inv)
-    bv = [b[..., j] for j in range(N_LIMBS)]
+    L = N_LIMBS
+    # (..., 2L) lazy accumulator; b and p padded once for rolled accumulation
+    pad = jnp.zeros((*a.shape[:-1], L), dtype=U32)
+    b_wide = jnp.concatenate([b, pad], axis=-1)
+    p_wide = jnp.broadcast_to(
+        jnp.concatenate([jnp.asarray(f.p_limbs, dtype=U32), jnp.zeros(L, U32)]),
+        b_wide.shape,
+    )
 
-    def body(i, t):
-        ai = jax.lax.dynamic_index_in_dim(a, i, axis=a.ndim - 1, keepdims=False)
-        t = list(t)
-        # t += a_i * b
-        c = jnp.zeros(shape, dtype=U32)
-        for j in range(N_LIMBS):
-            s = t[j] + ai * bv[j] + c
-            t[j] = s & _MASK
-            c = s >> _SHIFT
-        s = t[N_LIMBS] + c
-        t[N_LIMBS] = s & _MASK
-        t[N_LIMBS + 1] = s >> _SHIFT
-        # m = t0 * n0inv mod 2^16 ; t += m * p ; t >>= 16
-        m = (t[0] * n0inv) & _MASK
-        c = (t[0] + m * pj[0]) >> _SHIFT
-        for j in range(1, N_LIMBS):
-            s = t[j] + m * pj[j] + c
-            t[j - 1] = s & _MASK
-            c = s >> _SHIFT
-        s = t[N_LIMBS] + c
-        t[N_LIMBS - 1] = s & _MASK
-        c = s >> _SHIFT
-        t[N_LIMBS] = t[N_LIMBS + 1] + c
-        t[N_LIMBS + 1] = jnp.zeros(shape, dtype=U32)
-        return tuple(t)
+    def mul_body(i, t):
+        ai = jax.lax.dynamic_index_in_dim(a, i, axis=a.ndim - 1, keepdims=True)
+        prod = ai * b_wide  # zeros beyond L keep the tail clean
+        lo = prod & _MASK
+        hi = prod >> _SHIFT
+        return t + jnp.roll(lo, i, axis=-1) + jnp.roll(hi, i + 1, axis=-1)
 
-    t0 = tuple(jnp.zeros(shape, dtype=U32) for _ in range(N_LIMBS + 2))
-    t = jax.lax.fori_loop(0, N_LIMBS, body, t0)
-    res = jnp.stack(t[:N_LIMBS], axis=-1)
-    return _cond_sub_p(f, res, t[N_LIMBS])
+    t = jax.lax.fori_loop(
+        0, L, mul_body, jnp.zeros((*a.shape[:-1], 2 * L), dtype=U32)
+    )
+
+    def red_body(i, carry):
+        t, c = carry
+        ti = jax.lax.dynamic_index_in_dim(t, i, axis=-1, keepdims=True)
+        ti = ti + c
+        m = (ti * n0inv) & _MASK
+        prod = m * p_wide  # lo/hi split keeps lazy limbs < 2^22 (no overflow)
+        t = t + jnp.roll(prod & _MASK, i, axis=-1) + jnp.roll(prod >> _SHIFT, i + 1, axis=-1)
+        # position i is now divisible by 2^16; its upper bits carry to i+1
+        ti2 = jax.lax.dynamic_index_in_dim(t, i, axis=-1, keepdims=True) + c
+        return t, ti2 >> _SHIFT
+
+    t, c = jax.lax.fori_loop(
+        0, L, red_body, (t, jnp.zeros((*a.shape[:-1], 1), dtype=U32))
+    )
+
+    # result = lazy limbs L..2L-1 plus the running carry at position L
+    res = t[..., L:]
+    res = res.at[..., 0].add(c[..., 0])
+    # full carry propagation (unrolled small chain)
+    out = []
+    cc = jnp.zeros(a.shape[:-1], dtype=U32)
+    for j in range(L):
+        s = res[..., j] + cc
+        out.append(s & _MASK)
+        cc = s >> _SHIFT
+    res = jnp.stack(out, axis=-1)
+    return _cond_sub_p(f, res, cc)
 
 
 def mont_sqr(f: LimbField, a):

@@ -20,6 +20,12 @@ import jax  # noqa: E402
 # (the driver benches on the real chip separately).
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the limb-plane graphs are compile-heavy, and
+# repeat test runs should not pay XLA again.
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
