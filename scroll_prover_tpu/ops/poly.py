@@ -1,0 +1,94 @@
+"""Device polynomial primitives over Fr limb planes.
+
+Everything is shape-static and log-depth (Hillis-Steele scans under
+fori_loop with a single traced body — same compile-size discipline as
+ops/msm.py). Polynomials are (n, N_LIMBS) uint32 Montgomery coefficient
+vectors, ascending degree.
+
+Replaces the polynomial utility layer of the reference's halo2_proofs fork
+(SURVEY.md L1: quotient construction, eval phase).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.limbs import N_LIMBS, LimbField
+from . import field_ops as fo
+
+
+def _hs_scan(f: LimbField, x, combine, reverse: bool = False):
+    """Inclusive Hillis-Steele prefix scan with `combine` (add/mul)."""
+    if reverse:
+        return _hs_scan(f, x[::-1], combine)[::-1]
+    n = x.shape[0]
+    steps = max((n - 1).bit_length(), 1)
+    pos = jnp.arange(n, dtype=jnp.uint32)
+    neutral_mask = None
+
+    def body(k, v):
+        s = jnp.uint32(1) << k
+        shifted = jnp.roll(v, s, axis=0)
+        merged = combine(f, v, shifted)
+        return fo.select(pos >= s, merged, v)
+
+    return jax.lax.fori_loop(0, steps, body, x)
+
+
+@partial(jax.jit, static_argnums=0)
+def prefix_sum_mont(f: LimbField, x):
+    return _hs_scan(f, x, fo.add_mod)
+
+
+@partial(jax.jit, static_argnums=0)
+def suffix_sum_mont(f: LimbField, x):
+    return _hs_scan(f, x, fo.add_mod, reverse=True)
+
+
+@partial(jax.jit, static_argnums=0)
+def prefix_prod_mont(f: LimbField, x):
+    return _hs_scan(f, x, fo.mont_mul)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def powers_mont(f: LimbField, z, n: int):
+    """[1, z, z^2, ..., z^(n-1)] from a single Montgomery element z: (L,)."""
+    one = fo.one_mont(f)
+    base = jnp.broadcast_to(z[None, :], (n, N_LIMBS))
+    base = base.at[0].set(one)
+    return prefix_prod_mont(f, base)
+
+
+@partial(jax.jit, static_argnums=0)
+def eval_poly_mont(f: LimbField, coeffs, z):
+    """f(z) for coeffs (n, L), z (L,), all Montgomery. Returns (L,)."""
+    pw = powers_mont(f, z, coeffs.shape[0])
+    t = fo.mont_mul(f, coeffs, pw)
+    return prefix_sum_mont(f, t)[-1]
+
+
+@partial(jax.jit, static_argnums=0)
+def kzg_quotient_mont(f: LimbField, coeffs, z):
+    """q(X) = (f(X) - f(z)) / (X - z) as (n, L) (top coefficient zero).
+
+    Parallel form: with t_j = f_j z^j,  q_i = z^{-(i+1)} * sum_{j>i} t_j —
+    one powers table, one suffix sum, one scale. Requires z != 0 (Fiat-
+    Shamir challenges are never 0 except with negligible probability).
+    """
+    n = coeffs.shape[0]
+    pw = powers_mont(f, z, n)
+    t = fo.mont_mul(f, coeffs, pw)
+    s = suffix_sum_mont(f, t)
+    s = jnp.roll(s, -1, axis=0).at[-1].set(0)  # S_i = sum_{j >= i+1} t_j
+    zinv = fo.inv_mont(f, z)
+    pw_inv = powers_mont(f, zinv, n)  # zinv^i
+    q = fo.mont_mul(f, s, pw_inv)
+    return fo.mont_mul(f, q, jnp.broadcast_to(zinv[None, :], q.shape))
+
+
+@partial(jax.jit, static_argnums=0)
+def axpy_mont(f: LimbField, a, x, y):
+    """a*x + y for scalar a (L,), vectors x, y (n, L)."""
+    return fo.add_mod(f, fo.mont_mul(f, jnp.broadcast_to(a[None, :], x.shape), x), y)

@@ -1,0 +1,226 @@
+"""KZG polynomial commitment over BN254 (SRS, commit, open, verify).
+
+Mirrors the consumed surface of the reference's ParamsKZG<Bn256>
+(integration/src/prove.rs:1, integration/tests/integration.rs:12-22:
+`load_params`, `downsize`, shared `g2`/`s_g2`): an SRS with monomial and
+Lagrange G1 bases plus G2/s·G2, serialized per degree. Commit/open run on
+device (ops/msm.py, ops/poly.py); verification is host-side pairing
+(curves/pairing.py).
+
+SRS generation here is from a seed tau — INSECURE, test/bench only; a
+production deployment loads a ceremony file via save/load (same role as the
+reference's download_setup.sh params files).
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.bn254_curve import G1, G2, g1_generator, g2_generator
+from ..curves import pairing as pr
+from ..fields.bn254 import FR_MOD, FR_ROOT_OF_UNITY, FR_TWO_ADICITY
+from ..fields.limbs import FR_LIMB, N_LIMBS, ints_to_limbs
+from ..ops import ec, msm, poly as poly_ops
+from ..ops import field_ops as fo
+
+_SRS_CACHE: dict = {}
+
+
+class SRS:
+    """Structured reference string for degrees up to 2^k."""
+
+    def __init__(self, k: int, g1_powers, g1_lagrange, g2, s_g2):
+        self.k = k
+        self.n = 1 << k
+        self.g1_powers = g1_powers      # list of affine int pairs, len n
+        self.g1_lagrange = g1_lagrange  # list of affine int pairs, len n
+        self.g2 = g2                    # G2 affine (Fq2 pair)
+        self.s_g2 = s_g2
+        self._dev_powers = None
+        self._dev_lagrange = None
+
+    # -- generation / io --------------------------------------------------
+
+    @classmethod
+    def generate(cls, k: int, seed: bytes = b"scroll-prover-tpu-test-srs"):
+        """Deterministic toy SRS from a seed (INSECURE: tau is derivable)."""
+        key = (k, seed)
+        if key in _SRS_CACHE:
+            return _SRS_CACHE[key]
+        tau = int.from_bytes(hashlib.sha512(seed).digest(), "little") % FR_MOD
+        n = 1 << k
+        g = g1_generator()
+        powers_scalars = [1] * n
+        for i in range(1, n):
+            powers_scalars[i] = powers_scalars[i - 1] * tau % FR_MOD
+        g1_powers = _batch_base_mul(powers_scalars)
+        # L_i(tau) = omega^i (tau^n - 1) / (n (tau - omega^i))
+        omega = pow(FR_ROOT_OF_UNITY, 1 << (FR_TWO_ADICITY - k), FR_MOD)
+        vanish = (pow(tau, n, FR_MOD) - 1) % FR_MOD
+        ninv = pow(n, -1, FR_MOD)
+        lag_scalars = []
+        wi = 1
+        for i in range(n):
+            denom = (tau - wi) % FR_MOD
+            lag_scalars.append(
+                wi * vanish % FR_MOD * ninv % FR_MOD * pow(denom, -1, FR_MOD) % FR_MOD
+            )
+            wi = wi * omega % FR_MOD
+        g1_lagrange = _batch_base_mul(lag_scalars)
+        h = g2_generator()
+        srs = cls(k, g1_powers, g1_lagrange, h, G2.mul(h, tau))
+        _SRS_CACHE[key] = srs
+        return srs
+
+    def downsize(self, k: int) -> "SRS":
+        """Smaller-degree view: truncate monomial powers; Lagrange basis is
+        recomputed by a change of basis (iNTT over points) — host-side,
+        currently via tau-free partial sums only for generated SRS sizes.
+        Shares g2/s_g2 (the invariant integration.rs:12-22 asserts)."""
+        assert k <= self.k
+        if k == self.k:
+            return self
+        n = 1 << k
+        # group iNTT: lag[i] = (1/n) sum_j omega^{-ij} * powers[j]
+        omega_inv = pow(
+            pow(FR_ROOT_OF_UNITY, 1 << (FR_TWO_ADICITY - k), FR_MOD), -1, FR_MOD
+        )
+        ninv = pow(n, -1, FR_MOD)
+        lag = []
+        for i in range(n):
+            sc = [pow(omega_inv, i * j, FR_MOD) * ninv % FR_MOD for j in range(n)]
+            lag.append(_host_msm(self.g1_powers[:n], sc))
+        return SRS(k, self.g1_powers[:n], lag, self.g2, self.s_g2)
+
+    def save(self, path: str):
+        with open(path, "wb") as fh:
+            fh.write(struct.pack("<I", self.k))
+            for plist in (self.g1_powers, self.g1_lagrange):
+                for pt in plist:
+                    fh.write(_enc_g1(pt))
+            for pt in (self.g2, self.s_g2):
+                fh.write(_enc_g2(pt))
+
+    @classmethod
+    def load(cls, path: str) -> "SRS":
+        with open(path, "rb") as fh:
+            (k,) = struct.unpack("<I", fh.read(4))
+            n = 1 << k
+            powers = [_dec_g1(fh.read(64)) for _ in range(n)]
+            lagrange = [_dec_g1(fh.read(64)) for _ in range(n)]
+            g2 = _dec_g2(fh.read(128))
+            s_g2 = _dec_g2(fh.read(128))
+        return cls(k, powers, lagrange, g2, s_g2)
+
+    # -- device views ------------------------------------------------------
+
+    def dev_powers(self):
+        if self._dev_powers is None:
+            self._dev_powers = jnp.asarray(ec.encode_affine_mont(self.g1_powers))
+        return self._dev_powers
+
+    def dev_lagrange(self):
+        if self._dev_lagrange is None:
+            self._dev_lagrange = jnp.asarray(ec.encode_affine_mont(self.g1_lagrange))
+        return self._dev_lagrange
+
+
+def _enc_g1(pt) -> bytes:
+    if pt is None:
+        return b"\x00" * 64
+    return pt[0].to_bytes(32, "little") + pt[1].to_bytes(32, "little")
+
+
+def _dec_g1(b: bytes):
+    x = int.from_bytes(b[:32], "little")
+    y = int.from_bytes(b[32:64], "little")
+    return None if x == y == 0 else (x, y)
+
+
+def _enc_g2(pt) -> bytes:
+    (x0, x1), (y0, y1) = pt
+    return b"".join(v.to_bytes(32, "little") for v in (x0, x1, y0, y1))
+
+
+def _dec_g2(b: bytes):
+    v = [int.from_bytes(b[32 * i : 32 * (i + 1)], "little") for i in range(4)]
+    return ((v[0], v[1]), (v[2], v[3]))
+
+
+def _batch_base_mul(scalars):
+    """[s*G for s in scalars] via a fixed-base window table (host)."""
+    g = g1_generator()
+    c = 8
+    windows = 256 // c
+    table = []  # table[w][d] = d * 2^(cw) * G
+    base = g
+    for w in range(windows):
+        row = [None] * (1 << c)
+        acc = None
+        for d in range(1, 1 << c):
+            acc = G1.add(acc, base)
+            row[d] = acc
+        table.append(row)
+        for _ in range(c):
+            base = G1.double(base)
+    out = []
+    for s in scalars:
+        acc = None
+        s = int(s) % FR_MOD
+        for w in range(windows):
+            d = (s >> (c * w)) & ((1 << c) - 1)
+            if d:
+                acc = G1.add(acc, table[w][d])
+        out.append(acc)
+    return out
+
+
+def _host_msm(points, scalars):
+    acc = None
+    for pt, s in zip(points, scalars):
+        if s and pt is not None:
+            acc = G1.add(acc, G1.mul(pt, s))
+    return acc
+
+
+# --- device commit/open -------------------------------------------------------
+
+
+def _to_standard_limbs(coeffs_mont):
+    return fo.from_mont(FR_LIMB, coeffs_mont)
+
+
+def kzg_commit(srs: SRS, coeffs_mont, basis: str = "monomial"):
+    """Commit to (n, L) Montgomery coefficients (or Lagrange evals). Returns
+    host affine point (or None)."""
+    base = srs.dev_powers() if basis == "monomial" else srs.dev_lagrange()
+    n = coeffs_mont.shape[0]
+    assert n <= srs.n
+    scalars = _to_standard_limbs(coeffs_mont)
+    pt = msm.msm_padded(base[:n], scalars)
+    return ec.decode_point(pt)
+
+
+def kzg_open(srs: SRS, coeffs_mont, z: int):
+    """Open f at z: returns (eval f(z) as int, witness commitment W)."""
+    zm = jnp.asarray(ints_to_limbs([z * (1 << 256) % FR_MOD])[0])
+    ev = poly_ops.eval_poly_mont(FR_LIMB, coeffs_mont, zm)
+    q = poly_ops.kzg_quotient_mont(FR_LIMB, coeffs_mont, zm)
+    w = kzg_commit(srs, q)
+    ev_int = FR_LIMB.decode(np.asarray(ev)[None, :])[0]
+    return ev_int, w
+
+
+def verify_single_open(srs: SRS, commitment, z: int, value: int, witness) -> bool:
+    """e(C - v*G + z*W, G2) == e(W, s*G2)."""
+    g = g1_generator()
+    lhs = G1.add(
+        G1.add(commitment, G1.neg(G1.mul(g, value))), G1.mul(witness, z)
+    )
+    return pr.pairing_check(
+        [(lhs, srs.g2), (G1.neg(witness), srs.s_g2)]
+    )
