@@ -180,10 +180,28 @@ def _batch_base_mul(scalars):
 
 
 def _host_msm(points, scalars):
+    """Host Pippenger (8-bit windows); fast enough for small commits."""
+    c = 8
+    nw = 256 // c
     acc = None
-    for pt, s in zip(points, scalars):
-        if s and pt is not None:
-            acc = G1.add(acc, G1.mul(pt, s))
+    for w in reversed(range(nw)):
+        if acc is not None:
+            for _ in range(c):
+                acc = G1.double(acc)
+        buckets = {}
+        for pt, s in zip(points, scalars):
+            if pt is None:
+                continue
+            d = (int(s) >> (c * w)) & ((1 << c) - 1)
+            if d:
+                buckets[d] = G1.add(buckets.get(d), pt)
+        if buckets:
+            running = None
+            total = None
+            for d in range(max(buckets), 0, -1):
+                running = G1.add(running, buckets.get(d))
+                total = G1.add(total, running)
+            acc = G1.add(acc, total)
     return acc
 
 
@@ -194,12 +212,23 @@ def _to_standard_limbs(coeffs_mont):
     return fo.from_mont(FR_LIMB, coeffs_mont)
 
 
+# below this size, the XLA compile cost of the device MSM dwarfs the work;
+# host Pippenger handles test/aggregation-sized commits
+DEVICE_MSM_THRESHOLD = int(os.environ.get("SPT_DEVICE_MSM_THRESHOLD", "4096"))
+
+
 def kzg_commit(srs: SRS, coeffs_mont, basis: str = "monomial"):
     """Commit to (n, L) Montgomery coefficients (or Lagrange evals). Returns
     host affine point (or None)."""
-    base = srs.dev_powers() if basis == "monomial" else srs.dev_lagrange()
     n = coeffs_mont.shape[0]
     assert n <= srs.n
+    if n < DEVICE_MSM_THRESHOLD:
+        from ..fields.limbs import limbs_to_ints
+
+        host_pts = srs.g1_powers if basis == "monomial" else srs.g1_lagrange
+        scalars = limbs_to_ints(np.asarray(_to_standard_limbs(coeffs_mont)))
+        return _host_msm(host_pts[:n], scalars)
+    base = srs.dev_powers() if basis == "monomial" else srs.dev_lagrange()
     scalars = _to_standard_limbs(coeffs_mont)
     pt = msm.msm_padded(base[:n], scalars)
     return ec.decode_point(pt)

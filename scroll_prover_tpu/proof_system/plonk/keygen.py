@@ -1,0 +1,147 @@
+"""Keygen: proving key / verifying key construction.
+
+vk = domain + commitments to fixed columns and permutation sigma polys +
+constraint-system shape (mirrors the halo2 vk the reference serializes as
+`vk_chunk_*.vkey`, SURVEY.md section 2.4 "u32_be k then commitments").
+pk = vk + coefficient forms of fixed/sigma polys + Lagrange-indicator polys.
+
+Sigma construction: the classic cycle-splice — sigma starts as the identity
+permutation over the (perm_column x row) grid; each copy constraint splices
+two cycles by swapping images. Sigma poly values are coset labels
+delta^j * omega^i.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...fields.bn254 import FR_GENERATOR, FR_MOD, FR_TWO_ADICITY
+from ...fields.limbs import FR_LIMB
+from ...hashes.keccak import keccak256
+from ...ops.ntt import EvaluationDomain
+from ..kzg import SRS, kzg_commit
+from .cs import Circuit, ConstraintSystem
+
+# coset shift: DELTA generates distinct cosets of the 2^k subgroup H
+DELTA = pow(FR_GENERATOR, 1 << FR_TWO_ADICITY, FR_MOD)
+
+
+def _to_mont_dev(col_ints) -> jnp.ndarray:
+    return jnp.asarray(FR_LIMB.encode([int(v) for v in col_ints], mont=True))
+
+
+@dataclass
+class VerifyingKey:
+    k: int
+    cs: ConstraintSystem
+    fixed_commitments: list
+    sigma_commitments: list
+    domain: EvaluationDomain = field(repr=False)
+
+    def transcript_repr(self) -> int:
+        """Digest absorbed into every transcript (binds proof to circuit)."""
+        h = bytearray()
+        h += self.k.to_bytes(4, "big")
+        for c in self.fixed_commitments + self.sigma_commitments:
+            h += b"\x00" * 64 if c is None else (
+                c[0].to_bytes(32, "little") + c[1].to_bytes(32, "little")
+            )
+        h += len(self.cs.gates).to_bytes(4, "big")
+        return int.from_bytes(keccak256(bytes(h)), "big") % FR_MOD
+
+
+@dataclass
+class ProvingKey:
+    vk: VerifyingKey
+    fixed_polys: list          # device (n, L) Montgomery coeff forms
+    fixed_values: list         # host object arrays (lookup tables need values)
+    sigma_polys: list
+    sigma_values: list[list[int]]
+    l0: jnp.ndarray = None
+    l_last: jnp.ndarray = None
+    l_active: np.ndarray = None  # host 0/1 mask of active gate rows
+
+
+def _sigma_values(nxt: np.ndarray, m: int, n: int) -> list[list[int]]:
+    from ...fields.bn254 import FR_ROOT_OF_UNITY
+
+    k = n.bit_length() - 1
+    omega = pow(FR_ROOT_OF_UNITY, 1 << (FR_TWO_ADICITY - k), FR_MOD)
+    om_pows = [1] * n
+    for i in range(1, n):
+        om_pows[i] = om_pows[i - 1] * omega % FR_MOD
+    delta_pows = [pow(DELTA, j, FR_MOD) for j in range(m)]
+    out = []
+    for j in range(m):
+        col = []
+        for i in range(n):
+            t = int(nxt[j * n + i])
+            cj, ci = divmod(t, n)
+            col.append(delta_pows[cj] * om_pows[ci] % FR_MOD)
+        out.append(col)
+    return out
+
+
+def keygen(srs: SRS, k: int, circuit: Circuit, instance=None):
+    """Returns (pk, vk). Fixed columns come from a reference assignment with
+    zero instance (fixed content must not depend on the witness)."""
+    cs = ConstraintSystem()
+    circuit.configure(cs)
+    n = 1 << k
+    dom = EvaluationDomain(k, _extended_j(cs))
+    inst = np.empty((cs.num_instance, n), dtype=object)
+    inst[:] = 0
+    tables = circuit.assign(cs, n, inst)
+    fixed_vals = [tables["fixed"][i] for i in range(cs.num_fixed)]
+
+    fixed_polys, fixed_coms = [], []
+    for col in fixed_vals:
+        evals = _to_mont_dev(col)
+        coeffs = dom.intt(evals)
+        fixed_polys.append(coeffs)
+        fixed_coms.append(kzg_commit(srs, coeffs))
+
+    sigma_vals = _sigma_values(_build_next(cs, n), len(cs.perm_columns), n)
+    sigma_polys, sigma_coms = [], []
+    for col in sigma_vals:
+        coeffs = dom.intt(_to_mont_dev(col))
+        sigma_polys.append(coeffs)
+        sigma_coms.append(kzg_commit(srs, coeffs))
+
+    usable = cs.usable_rows(n)
+    l0_vals = [1] + [0] * (n - 1)
+    l_last_vals = [0] * n
+    l_last_vals[usable - 1] = 1
+    l_active = np.zeros(n, dtype=np.int64)
+    l_active[: usable - 1] = 1  # rows where product-style gates apply
+
+    vk = VerifyingKey(k, cs, fixed_coms, sigma_coms, dom)
+    pk = ProvingKey(
+        vk,
+        fixed_polys,
+        fixed_vals,
+        sigma_polys,
+        sigma_vals,
+        l0=dom.intt(_to_mont_dev(l0_vals)),
+        l_last=dom.intt(_to_mont_dev(l_last_vals)),
+        l_active=l_active,
+    )
+    return pk, vk
+
+
+def _build_next(cs: ConstraintSystem, n: int) -> np.ndarray:
+    cols = {c: j for j, c in enumerate(cs.perm_columns)}
+    m = len(cs.perm_columns)
+    nxt = np.arange(m * n, dtype=np.int64)
+    for (ca, ra), (cb, rb) in cs.copies:
+        a = cols[ca] * n + ra
+        b = cols[cb] * n + rb
+        nxt[a], nxt[b] = nxt[b], nxt[a]
+    return nxt
+
+
+def _extended_j(cs: ConstraintSystem) -> int:
+    d = max(cs.max_gate_degree(), 5)  # lookup/perm args reach degree ~5
+    return max((d - 1).bit_length(), 1)

@@ -1,0 +1,520 @@
+"""PLONKish prover (device NTT/MSM/scans + host orchestration).
+
+Protocol (halo2-shaped; verifier.py mirrors it exactly):
+  1. absorb vk digest + instance values; commit advice columns
+  2. theta; per lookup commit permuted (A', S')
+  3. beta, gamma; commit permutation grand-product chunks Z_a and lookup Zs
+  4. commit random poly; y; build quotient h on the extended coset domain,
+     commit chunks
+  5. x; write evals of all queried polys at their rotations
+  6. v; GWC multiopen: one witness W per distinct point; write Ws
+
+Replaces halo2 create_proof as consumed by the reference
+(SURVEY.md section 3.1: "halo2 create_proof @ degree 20 -> hot loops: MSM,
+NTT/coset-FFT, quotient poly, permutation/lookup grand products").
+"""
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...fields.bn254 import FR_MOD
+from ...fields.limbs import FR_LIMB
+from ...ops import field_ops as fo
+from ...ops import poly as poly_ops
+from ..kzg import SRS, kzg_commit
+from ..transcript import PoseidonTranscript
+from .cs import ConstraintSystem
+from .keygen import DELTA, ProvingKey
+from .mock import _pad_instance
+
+F = FR_LIMB
+
+
+def _mont(vals) -> jnp.ndarray:
+    return jnp.asarray(F.encode([int(v) for v in vals], mont=True))
+
+
+def _mont_scalar(v: int) -> jnp.ndarray:
+    return jnp.asarray(F.encode([int(v)])[0])
+
+
+def _blind(seed: bytes, tag: str, count: int) -> list[int]:
+    out = []
+    for i in range(count):
+        h = hashlib.sha256(seed + tag.encode() + i.to_bytes(4, "big")).digest()
+        out.append(int.from_bytes(h, "little") % FR_MOD)
+    return out
+
+
+@dataclass
+class _Queries:
+    """Canonical query orders shared by prover and verifier."""
+
+    advice: list[tuple[int, int]]
+    fixed: list[tuple[int, int]]
+    instance: list[tuple[int, int]]
+
+    @classmethod
+    def from_cs(cls, cs: ConstraintSystem) -> "_Queries":
+        adv, fix, inst = set(), set(), set()
+        exprs = [e for _, e in cs.gates]
+        for lk in cs.lookups:
+            exprs += lk.inputs + lk.tables
+        for e in exprs:
+            for kind, col, rot in e.queries():
+                {"advice": adv, "fixed": fix, "instance": inst}[kind].add((col, rot))
+        for c in cs.perm_columns:  # permutation argument queries rot 0
+            {"advice": adv, "fixed": fix, "instance": inst}[c.kind].add((c.index, 0))
+        return cls(sorted(adv), sorted(fix), sorted(inst))
+
+
+def _perm_chunks(cs: ConstraintSystem) -> int:
+    return max(1, cs.max_gate_degree() - 2)
+
+
+def prove(
+    srs: SRS,
+    pk: ProvingKey,
+    circuit,
+    instance,
+    transcript_cls=PoseidonTranscript,
+    seed: bytes = b"scroll-prover-tpu",
+    _debug: dict | None = None,
+) -> bytes:
+    vk = pk.vk
+    cs: ConstraintSystem = vk.cs
+    dom = vk.domain
+    n = dom.n
+    usable = cs.usable_rows(n)
+    u = usable - 1
+    omega = dom.omega
+
+    inst = _pad_instance(cs, n, instance)
+    tables = circuit.assign(cs, n, inst)
+    advice_vals = [
+        [int(v) % FR_MOD for v in tables["advice"][i]] for i in range(cs.num_advice)
+    ]
+    # blinding rows
+    for i, col in enumerate(advice_vals):
+        bl = _blind(seed, f"adv{i}", n - usable)
+        col[usable:] = bl
+
+    tr = transcript_cls()
+    tr.common_scalar(vk.transcript_repr())
+    for col in range(cs.num_instance):
+        for row in range(usable):
+            tr.common_scalar(int(inst[col][row]))
+
+    # --- phase 1: advice commitments -------------------------------------
+    advice_polys = [dom.intt(_mont(col)) for col in advice_vals]
+    for p in advice_polys:
+        tr.write_point(kzg_commit(srs, p))
+
+    theta = tr.squeeze_challenge()
+
+    # --- phase 2: lookups -------------------------------------------------
+    def eval_expr_host(expr, row):
+        def q(kind, col, rot):
+            r = (row + rot) % n
+            if kind == "fixed":
+                return int(pk.fixed_values[col][r])
+            if kind == "advice":
+                return advice_vals[col][r]
+            return int(inst[col][r])
+
+        return expr.evaluate(
+            constant=lambda c: c % FR_MOD,
+            query=q,
+            challenge=lambda i: theta,  # only theta-type challenges pre-beta
+            add=lambda a, b: (a + b) % FR_MOD,
+            mul=lambda a, b: (a * b) % FR_MOD,
+            neg=lambda a: (-a) % FR_MOD,
+        )
+
+    lookups = []
+    for lk in cs.lookups:
+        a_vals = [0] * n
+        s_vals = [0] * n
+        for row in range(usable):
+            acc = 0
+            for e in lk.inputs:
+                acc = (acc * theta + eval_expr_host(e, row)) % FR_MOD
+            a_vals[row] = acc
+            acc = 0
+            for e in lk.tables:
+                acc = (acc * theta + eval_expr_host(e, row)) % FR_MOD
+            s_vals[row] = acc
+        # the grand product (and hence multiset equality) covers rows 0..u-1
+        a_perm, s_perm = _permute_lookup(a_vals[:u], s_vals[:u])
+        a_perm = a_perm + _blind(seed, f"lkA{len(lookups)}", n - u)
+        s_perm = s_perm + _blind(seed, f"lkS{len(lookups)}", n - u)
+        lookups.append(
+            {"a": a_vals, "s": s_vals, "a_perm": a_perm, "s_perm": s_perm}
+        )
+    for i, lk in enumerate(lookups):
+        lk["a_poly"] = dom.intt(_mont(lk["a_perm"]))
+        lk["s_poly"] = dom.intt(_mont(lk["s_perm"]))
+        tr.write_point(kzg_commit(srs, lk["a_poly"]))
+        tr.write_point(kzg_commit(srs, lk["s_poly"]))
+
+    beta = tr.squeeze_challenge()
+    gamma = tr.squeeze_challenge()
+
+    # --- phase 3: grand products -----------------------------------------
+    def col_value(cref, row):
+        if cref.kind == "fixed":
+            return int(pk.fixed_values[cref.index][row])
+        if cref.kind == "advice":
+            return advice_vals[cref.index][row]
+        return int(inst[cref.index][row])
+
+    chunk_len = _perm_chunks(cs)
+    m = len(cs.perm_columns)
+    chunks = [
+        list(range(a, min(a + chunk_len, m))) for a in range(0, m, chunk_len)
+    ]
+    om_pows = [1] * n
+    for i in range(1, n):
+        om_pows[i] = om_pows[i - 1] * omega % FR_MOD
+
+    perm_z_vals = []
+    last_z = 1
+    for chunk in chunks:
+        zv = [0] * n
+        zv[0] = last_z
+        for row in range(u):
+            num = den = 1
+            for jj in chunk:
+                cref = cs.perm_columns[jj]
+                v = col_value(cref, row)
+                num = num * ((v + beta * pow(DELTA, jj, FR_MOD) * om_pows[row] + gamma) % FR_MOD) % FR_MOD
+                den = den * ((v + beta * pk.sigma_values[jj][row] + gamma) % FR_MOD) % FR_MOD
+            zv[row + 1] = zv[row] * num % FR_MOD * pow(den, -1, FR_MOD) % FR_MOD
+        last_z = zv[u]
+        bl = _blind(seed, f"permz{len(perm_z_vals)}", n - u - 1)
+        zv[u + 1 :] = bl
+        perm_z_vals.append(zv)
+    if _debug is not None:
+        _debug["perm_z_vals"] = perm_z_vals
+        _debug["chunks"] = chunks
+        _debug["advice_vals"] = advice_vals
+        _debug["inst"] = inst
+    perm_z_polys = [dom.intt(_mont(zv)) for zv in perm_z_vals]
+    for p in perm_z_polys:
+        tr.write_point(kzg_commit(srs, p))
+
+    lookup_z_polys = []
+    for li, lk in enumerate(lookups):
+        zv = [0] * n
+        zv[0] = 1
+        for row in range(u):
+            num = (lk["a"][row] + beta) * (lk["s"][row] + gamma) % FR_MOD
+            den = (lk["a_perm"][row] + beta) * (lk["s_perm"][row] + gamma) % FR_MOD
+            zv[row + 1] = zv[row] * num % FR_MOD * pow(den, -1, FR_MOD) % FR_MOD
+        zv[u + 1 :] = _blind(seed, f"lkz{li}", n - u - 1)
+        lk["z_vals"] = zv
+        zp = dom.intt(_mont(zv))
+        lookup_z_polys.append(zp)
+        tr.write_point(kzg_commit(srs, zp))
+
+    # --- phase 4: vanishing / quotient ------------------------------------
+    random_poly = _mont(_blind(seed, "rand", n))
+    random_poly = dom.intt(random_poly)
+    tr.write_point(kzg_commit(srs, random_poly))
+    y = tr.squeeze_challenge()
+
+    h_chunk_polys = _build_quotient(
+        pk, dom, cs, advice_polys, [p for p in pk.fixed_polys],
+        [dom.intt(_mont([int(v) for v in inst[i]])) for i in range(cs.num_instance)],
+        pk.sigma_polys, perm_z_polys, lookups, lookup_z_polys,
+        chunks, theta, beta, gamma, y, u, _debug=_debug,
+    )
+    for p in h_chunk_polys:
+        tr.write_point(kzg_commit(srs, p))
+
+    x = tr.squeeze_challenge()
+
+    # --- phase 5: evaluations --------------------------------------------
+    qs = _Queries.from_cs(cs)
+    instance_polys = [
+        dom.intt(_mont([int(v) for v in inst[i]])) for i in range(cs.num_instance)
+    ]
+
+    def ev(polyc, point: int) -> int:
+        r = poly_ops.eval_poly_mont(F, polyc, _mont_scalar(point))
+        return F.decode(np.asarray(r)[None, :])[0]
+
+    xw = x * omega % FR_MOD
+    xwi = x * pow(omega, -1, FR_MOD) % FR_MOD
+    xu = x * pow(omega, u, FR_MOD) % FR_MOD
+
+    evals: list[int] = []
+    queries: list[tuple] = []  # (poly, commitment-side tag, point, value)
+
+    def emit(polyc, point, write=True):
+        v = ev(polyc, point)
+        if write:
+            tr.write_scalar(v)
+        queries.append((polyc, point, v))
+        return v
+
+    for col, rot in qs.advice:
+        emit(advice_polys[col], _rot_point(x, omega, rot))
+    for col, rot in qs.fixed:
+        emit(pk.fixed_polys[col], _rot_point(x, omega, rot))
+    for j in range(m):
+        emit(pk.sigma_polys[j], x)
+    for a, zp in enumerate(perm_z_polys):
+        emit(zp, x)
+        emit(zp, xw)
+        if a < len(perm_z_polys) - 1:
+            emit(zp, xu)
+    for li, zp in enumerate(lookup_z_polys):
+        emit(zp, x)
+        emit(zp, xw)
+        emit(lookups[li]["a_poly"], x)
+        emit(lookups[li]["a_poly"], xwi)
+        emit(lookups[li]["s_poly"], x)
+    emit(random_poly, x)
+
+    # h_combined: linear combo of chunks with x^{n a}; opened at x (value not
+    # written — the verifier recomputes it from the constraint system)
+    xn = pow(x, n, FR_MOD)
+    h_comb = h_chunk_polys[0]
+    wpow = 1
+    for a in range(1, len(h_chunk_polys)):
+        wpow = wpow * xn % FR_MOD
+        h_comb = poly_ops.axpy_mont(
+            F, _mont_scalar(wpow), h_chunk_polys[a], h_comb
+        )
+    h_x = ev(h_comb, x)
+    queries.append((h_comb, x, h_x))
+    # instance polys are opened implicitly (verifier evaluates them itself)
+    if _debug is not None:
+        _debug.update(
+            theta=theta, beta=beta, gamma=gamma, y=y, x=x, h_x=h_x,
+            evals=[(pt, val) for _, pt, val in queries],
+        )
+
+    v_ch = tr.squeeze_challenge()
+
+    # --- phase 6: GWC multiopen ------------------------------------------
+    points_order: list[int] = []
+    for _, point, _ in queries:
+        if point not in points_order:
+            points_order.append(point)
+    for point in points_order:
+        group = [(p, val) for (p, pt, val) in queries if pt == point]
+        comb = _combine(group, v_ch)
+        q = poly_ops.kzg_quotient_mont(F, comb, _mont_scalar(point))
+        tr.write_point(kzg_commit(srs, q))
+
+    return tr.finalize()
+
+
+def _combine(group, v_ch):
+    """sum_i v^i f_i over (poly, eval) pairs; f_0 gets v^0."""
+    comb = None
+    vpow = 1
+    maxlen = max(p.shape[0] for p, _ in group)
+    for polyc, _ in group:
+        if polyc.shape[0] < maxlen:
+            pad = jnp.zeros((maxlen - polyc.shape[0], polyc.shape[1]), jnp.uint32)
+            polyc = jnp.concatenate([polyc, pad])
+        if comb is None:
+            comb = fo.mont_mul(F, jnp.broadcast_to(_mont_scalar(vpow)[None, :], polyc.shape), polyc)
+        else:
+            comb = poly_ops.axpy_mont(F, _mont_scalar(vpow), polyc, comb)
+        vpow = vpow * v_ch % FR_MOD
+    return comb
+
+
+def _rot_point(x: int, omega: int, rot: int) -> int:
+    if rot >= 0:
+        return x * pow(omega, rot, FR_MOD) % FR_MOD
+    return x * pow(pow(omega, -1, FR_MOD), -rot, FR_MOD) % FR_MOD
+
+
+def _permute_lookup(a_vals, s_vals):
+    """halo2 lookup permutation: A' sorted; S' has each first-occurrence of
+    an A'-run aligned, leftovers fill the rest."""
+    usable = len(a_vals)
+    a_perm = sorted(a_vals)
+    from collections import Counter
+
+    leftover = Counter(s_vals)
+    s_perm = [None] * usable
+    for i, v in enumerate(a_perm):
+        if i == 0 or a_perm[i] != a_perm[i - 1]:
+            if leftover[v] == 0:
+                raise ValueError(f"lookup value {v} not in table")
+            leftover[v] -= 1
+            s_perm[i] = v
+    rest = list(leftover.elements())
+    ri = 0
+    for i in range(usable):
+        if s_perm[i] is None:
+            s_perm[i] = rest[ri]
+            ri += 1
+    return a_perm, s_perm
+
+
+def _build_quotient(
+    pk, dom, cs, advice_polys, fixed_polys, instance_polys, sigma_polys,
+    perm_z_polys, lookups, lookup_z_polys, chunks, theta, beta, gamma, y, u,
+    _debug: dict | None = None,
+):
+    """Evaluate all constraints on the extended coset domain, combine with y
+    powers, divide by the vanishing poly, return h chunks (each (n, L))."""
+    ext_n = dom.extended_n
+    n = dom.n
+    ratio = ext_n // n
+
+    cache: dict = {}
+
+    def ext(polyc, tag):
+        if tag not in cache:
+            pad = jnp.zeros((ext_n - polyc.shape[0], polyc.shape[1]), jnp.uint32)
+            cache[tag] = dom.ntt_extended(jnp.concatenate([polyc, pad]))
+        return cache[tag]
+
+    def q(kind, col, rot):
+        polyc = {
+            "advice": advice_polys,
+            "fixed": fixed_polys,
+            "instance": instance_polys,
+        }[kind][col]
+        e = ext(polyc, (kind, col))
+        return jnp.roll(e, -rot * ratio, axis=0)
+
+    one = fo.one_mont(F, (ext_n,))
+    zero = jnp.zeros((ext_n, 16), jnp.uint32)
+
+    def const(c):
+        return fo.mont_mul(
+            F, jnp.broadcast_to(_mont_scalar(c)[None, :], one.shape), one
+        )
+
+    terms = []
+    for _, expr in cs.gates:
+        terms.append(
+            expr.evaluate(
+                constant=const,
+                query=q,
+                challenge=lambda i: const(theta),
+                add=lambda a, b: fo.add_mod(F, a, b),
+                mul=lambda a, b: fo.mont_mul(F, a, b),
+                neg=lambda a: fo.neg_mod(F, a),
+            )
+        )
+
+    # lagrange indicators on extended domain
+    l0_e = ext(pk.l0, "l0")
+    llast_e = ext(pk.l_last, "l_last")
+    lact_vals = [0] * n
+    for i in range(u):
+        lact_vals[i] = 1
+    lact_poly = dom.intt(_mont(lact_vals))
+    lact_e = ext(lact_poly, "l_active")
+
+    # X values on the extended coset (incremental product)
+    xs = [0] * ext_n
+    acc_x = dom.g_coset % FR_MOD
+    for i in range(ext_n):
+        xs[i] = acc_x
+        acc_x = acc_x * dom.extended_omega % FR_MOD
+    x_e = _mont(xs)
+
+    mm = lambda a, b: fo.mont_mul(F, a, b)
+    ad = lambda a, b: fo.add_mod(F, a, b)
+    sb = lambda a, b: fo.sub_mod(F, a, b)
+
+    def col_ext(cref):
+        return q(cref.kind, cref.index, 0)
+
+    # permutation constraints
+    if perm_z_polys:
+        z_exts = [ext(zp, ("permz", a)) for a, zp in enumerate(perm_z_polys)]
+        terms.append(mm(l0_e, sb(one, z_exts[0])))
+        terms.append(
+            mm(llast_e, sb(mm(z_exts[-1], z_exts[-1]), z_exts[-1]))
+        )
+        for a in range(1, len(chunks)):
+            zu_prev = jnp.roll(z_exts[a - 1], -u * ratio, axis=0)
+            terms.append(mm(l0_e, sb(z_exts[a], zu_prev)))
+        beta_e = const(beta)
+        gamma_e = const(gamma)
+        for a, chunk in enumerate(chunks):
+            left = jnp.roll(z_exts[a], -ratio, axis=0)  # Z(omega X)
+            right = z_exts[a]
+            for jj in chunk:
+                cref = cs.perm_columns[jj]
+                v = col_ext(cref)
+                sig_e = ext(sigma_polys[jj], ("sigma", jj))
+                left = mm(left, ad(ad(v, mm(beta_e, sig_e)), gamma_e))
+                idterm = mm(beta_e, fo.mont_mul(F, const(pow(DELTA, jj, FR_MOD)), x_e))
+                right = mm(right, ad(ad(v, idterm), gamma_e))
+            terms.append(mm(lact_e, sb(left, right)))
+
+    # lookup constraints
+    for li, lk in enumerate(lookups):
+        z_e = ext(lookup_z_polys[li], ("lkz", li))
+        a_e = ext(lk["a_poly"], ("lka", li))
+        s_e = ext(lk["s_poly"], ("lks", li))
+        # compressed input/table on extended domain
+        def compress(exprs):
+            acc = None
+            for e in exprs:
+                v = e.evaluate(
+                    constant=const,
+                    query=q,
+                    challenge=lambda i: const(theta),
+                    add=ad,
+                    mul=mm,
+                    neg=lambda t: fo.neg_mod(F, t),
+                )
+                acc = v if acc is None else ad(mm(acc, const(theta)), v)
+            return acc
+
+        in_e = compress(cs.lookups[li].inputs)
+        tb_e = compress(cs.lookups[li].tables)
+        beta_e = const(beta)
+        gamma_e = const(gamma)
+        z_next = jnp.roll(z_e, -ratio, axis=0)
+        terms.append(mm(l0_e, sb(one, z_e)))
+        terms.append(mm(llast_e, sb(mm(z_e, z_e), z_e)))
+        lhs = mm(z_next, mm(ad(a_e, beta_e), ad(s_e, gamma_e)))
+        rhs = mm(z_e, mm(ad(in_e, beta_e), ad(tb_e, gamma_e)))
+        terms.append(mm(lact_e, sb(lhs, rhs)))
+        a_prev = jnp.roll(a_e, ratio, axis=0)  # A'(omega^{-1} X)
+        terms.append(mm(lact_e, mm(sb(a_e, s_e), sb(a_e, a_prev))))
+        terms.append(mm(l0_e, sb(a_e, s_e)))
+
+    # combine with y powers and divide by vanishing
+    acc = zero
+    for t in terms:
+        acc = ad(mm(acc, const(y)), t)
+    if _debug is not None:
+        _debug["H_coeffs"] = dom.intt_extended(acc)
+        _debug["terms_ext"] = [dom.intt_extended(t) for t in terms]
+
+    # vanishing values (zeta^n * omega_ext^{i n} - 1) cycle with period ratio
+    zn = pow(dom.g_coset, n, FR_MOD)
+    wn = pow(dom.extended_omega, n, FR_MOD)
+    vshort, a0 = [], zn
+    for _ in range(ratio):
+        vshort.append(pow((a0 - 1) % FR_MOD, -1, FR_MOD))
+        a0 = a0 * wn % FR_MOD
+    vinv = vshort * (ext_n // ratio)
+    acc = mm(acc, _mont(vinv))
+
+    h_coeffs = dom.intt_extended(acc)
+    # split into chunks of n
+    out = []
+    for a in range(ext_n // n):
+        out.append(h_coeffs[a * n : (a + 1) * n])
+    return out

@@ -1,0 +1,129 @@
+"""PLONK backend end-to-end: mock prove, real prove, verify, tamper cases."""
+import numpy as np
+import pytest
+
+from scroll_prover_tpu.fields.bn254 import FR_MOD
+from scroll_prover_tpu.proof_system import kzg
+from scroll_prover_tpu.proof_system.plonk import Circuit, ConstraintSystem, MockProver
+from scroll_prover_tpu.proof_system.plonk.cs import empty_assignment
+from scroll_prover_tpu.proof_system.plonk.keygen import keygen
+from scroll_prover_tpu.proof_system.plonk.prover import prove
+from scroll_prover_tpu.proof_system.plonk.verifier import verify
+
+K = 6
+N_COMP = 8  # computation rows
+
+
+class MulCircuit(Circuit):
+    """c = a*b rows, a-values range-checked via lookup, pi[0] copied to a[0].
+
+    Exercises: a degree-3 gate, a lookup, copy constraints across advice and
+    instance columns, multi-chunk permutation argument.
+    """
+
+    def __init__(self, bad_gate=False, bad_lookup=False, bad_copy=False):
+        self.bad_gate = bad_gate
+        self.bad_lookup = bad_lookup
+        self.bad_copy = bad_copy
+
+    def configure(self, cs: ConstraintSystem):
+        self.a = cs.advice_column()
+        self.b = cs.advice_column()
+        self.c = cs.advice_column()
+        self.sel = cs.selector()
+        self.tbl = cs.fixed_column()
+        self.pi = cs.instance_column()
+        cs.gate(
+            "mul",
+            self.sel.query() * (self.a.query() * self.b.query() - self.c.query()),
+        )
+        cs.lookup("a_range", [self.sel.query() * self.a.query()], [self.tbl.query()])
+
+    def assign(self, cs: ConstraintSystem, n: int, instance):
+        fixed = empty_assignment(cs.num_fixed, n)
+        advice = empty_assignment(cs.num_advice, n)
+        pi0 = int(instance[self.pi.index][0])
+        for i in range(N_COMP):
+            a = pi0 + i
+            b = i + 5
+            if self.bad_gate and i == 3:
+                b += 1
+                advice[self.c.index][i] = (pi0 + 3) * 8 % FR_MOD
+                advice[self.a.index][i] = a
+                advice[self.b.index][i] = b
+                fixed[self.sel.index][i] = 1
+                continue
+            advice[self.a.index][i] = a
+            advice[self.b.index][i] = b
+            advice[self.c.index][i] = a * b % FR_MOD
+            fixed[self.sel.index][i] = 1
+        # lookup table: fixed range 0..40 (independent of the instance —
+        # fixed columns are committed at keygen with a zero instance)
+        vals = list(range(41))
+        if self.bad_lookup:
+            vals.remove(9)  # pi0=7 -> a[2]=9 falls out of the table
+        for i, v in enumerate(vals):
+            fixed[self.tbl.index][i] = v
+        # copies: pi[0] == a[0]; c[0] == b[1]-ish copy inside advice
+        if not hasattr(cs, "_copied"):
+            cs.copy(self.pi, 0, self.a, 0)
+            cs.copy(self.c, 0, self.c, 0)
+            cs._copied = True
+        if self.bad_copy:
+            advice[self.a.index][0] = (pi0 + 1) % FR_MOD
+            advice[self.c.index][0] = (pi0 + 1) * 5 % FR_MOD
+        return {"fixed": fixed, "advice": advice}
+
+
+@pytest.fixture(scope="module")
+def srs():
+    return kzg.SRS.generate(K)
+
+
+def _instance():
+    return [[7]]
+
+
+def test_mock_satisfied():
+    MockProver.run(K, MulCircuit(), _instance()).assert_satisfied()
+
+
+def test_mock_catches_gate():
+    fails = MockProver.run(K, MulCircuit(bad_gate=True), _instance()).verify()
+    assert any(f.kind == "gate" for f in fails)
+
+
+def test_mock_catches_lookup():
+    fails = MockProver.run(K, MulCircuit(bad_lookup=True), _instance()).verify()
+    assert any(f.kind == "lookup" for f in fails)
+
+
+def test_mock_catches_copy():
+    fails = MockProver.run(K, MulCircuit(bad_copy=True), _instance()).verify()
+    assert any(f.kind == "copy" for f in fails)
+
+
+def test_prove_verify(srs):
+    circuit = MulCircuit()
+    pk, vk = keygen(srs, K, circuit)
+    proof = prove(srs, pk, circuit, _instance())
+    assert verify(srs, vk, _instance(), proof)
+
+
+def test_verify_rejects_wrong_instance(srs):
+    circuit = MulCircuit()
+    pk, vk = keygen(srs, K, circuit)
+    proof = prove(srs, pk, circuit, _instance())
+    assert not verify(srs, vk, [[8]], proof)
+
+
+def test_verify_rejects_tampered_proof(srs):
+    circuit = MulCircuit()
+    pk, vk = keygen(srs, K, circuit)
+    proof = bytearray(prove(srs, pk, circuit, _instance()))
+    proof[70] ^= 1
+    try:
+        ok = verify(srs, vk, _instance(), bytes(proof))
+    except AssertionError:
+        ok = False
+    assert not ok
