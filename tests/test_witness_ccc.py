@@ -1,0 +1,125 @@
+"""Trace ingestion, witness build, CCC modes + cross-validation.
+
+Uses real reference fixtures when mounted (read-only data), plus a
+synthetic trace so the suite is self-contained.
+"""
+import json
+import os
+
+import pytest
+
+from scroll_prover_tpu.l2types import BlockTrace, get_block_trace_from_file
+from scroll_prover_tpu.utils import load_chunk, load_batch
+from scroll_prover_tpu.witness import (
+    CircuitCapacityChecker, SUB_CIRCUIT_NAMES, chunk_trace_to_witness_block,
+)
+from scroll_prover_tpu.witness.capacity import (
+    CCCMode, ccc_as_follower_full, ccc_as_signer, ccc_by_chunk,
+    compare_ccc_results, metric_of_witness_block, run_circuit_capacity_checker,
+)
+
+REF_CHUNK = "/root/reference/integration/tests/extra_traces/batch_3/chunk_10"
+
+
+def synthetic_trace(num_txs=2, num_logs=30):
+    txs, ers = [], []
+    for i in range(num_txs):
+        txs.append(
+            {
+                "type": 0, "nonce": i, "txHash": "0x" + "ab" * 32,
+                "gas": 21000 + 500 * i, "gasPrice": "0x3b9aca00",
+                "from": "0x" + "11" * 20, "to": "0x" + "22" * 20,
+                "chainId": "0x82750", "value": "0x1", "data": "0xdeadbeef",
+                "isCreate": False, "v": "0x1", "r": "0x2", "s": "0x3",
+            }
+        )
+        logs = [
+            {"pc": p, "op": op, "gas": 100000 - p, "gasCost": 3, "depth": 1}
+            for p, op in zip(
+                range(num_logs),
+                ["PUSH1", "SLOAD", "MSTORE", "SHA3", "CALLDATACOPY"] * (num_logs // 5),
+            )
+        ]
+        ers.append(
+            {
+                "gas": 21000, "failed": False, "returnValue": "",
+                "from": {"address": "0x" + "11" * 20, "nonce": i},
+                "byteCode": "0x6001600101",
+                "structLogs": logs,
+                "callTrace": {
+                    "type": "CALL", "from": "0x" + "11" * 20,
+                    "to": "0x0000000000000000000000000000000000000002",
+                    "input": "0x" + "00" * 64,
+                },
+            }
+        )
+    return BlockTrace.from_json(
+        {
+            "chainID": 534352,
+            "version": "test",
+            "coinbase": {"address": "0x" + "33" * 20},
+            "header": {"number": "0x64", "gasUsed": "0xa410", "timestamp": "0x5"},
+            "transactions": txs,
+            "storageTrace": {
+                "rootBefore": "0x" + "01" * 32,
+                "rootAfter": "0x" + "02" * 32,
+                "proofs": {"0x" + "11" * 20: ["0xaa", "0xbb"]},
+                "storageProofs": {"0x" + "22" * 20: {"0x0": ["0xcc"]}},
+            },
+            "executionResults": ers,
+            "withdraw_trie_root": "0x" + "03" * 32,
+            "startL1QueueIndex": 7,
+        }
+    )
+
+
+def test_witness_block_from_synthetic():
+    wb = chunk_trace_to_witness_block([synthetic_trace()])
+    assert wb.num_txs == 2
+    assert wb.num_steps == 60
+    assert wb.chain_id == 534352
+    assert wb.prev_state_root == "0x" + "01" * 32
+    assert wb.post_state_root == "0x" + "02" * 32
+    assert wb.precompile_calls["sha256"] == 2
+    m = metric_of_witness_block(wb)
+    assert m["num_txs"] == 2 and m["num_steps"] == 60
+
+
+def test_ccc_modes_and_bound():
+    traces = [synthetic_trace(), synthetic_trace(num_txs=1)]
+    opt = ccc_by_chunk(traces)
+    signer = ccc_as_signer(traces)
+    follower = ccc_as_follower_full(traces)
+    assert [d.name for d in opt.row_usage_details] == SUB_CIRCUIT_NAMES
+    assert opt.is_ok
+    compare_ccc_results(opt, signer)
+    compare_ccc_results(opt, follower)
+    assert opt.bottleneck().row_number > 0
+    out = run_circuit_capacity_checker(
+        1, 1, traces, [CCCMode.OPTIMAL, CCCMode.SIGNER, CCCMode.FOLLOWER_FULL]
+    )
+    assert out is not None
+
+
+def test_incremental_checker_reset():
+    ck = CircuitCapacityChecker()
+    ck.estimate_circuit_capacity(synthetic_trace())
+    u1 = ck.get_acc_row_usage()
+    ck.reset()
+    assert ck.get_acc_row_usage().bottleneck().row_number == 0
+    assert u1.bottleneck().row_number > 0
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_CHUNK), reason="reference fixtures not mounted")
+def test_reference_fixture_chunk():
+    traces = load_chunk(REF_CHUNK)
+    assert len(traces) >= 2
+    nums = [t.number for t in traces]
+    assert nums == sorted(nums)  # numeric sort
+    wb = chunk_trace_to_witness_block(traces)
+    assert wb.num_txs >= len(traces)  # every block has >= 1 tx
+    assert wb.num_steps > 0
+    usage = ccc_by_chunk(traces)
+    assert usage.is_ok
+    # per-tx estimation upper-bounds the whole-chunk build
+    compare_ccc_results(usage, ccc_as_signer(traces))
