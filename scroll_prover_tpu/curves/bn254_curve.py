@@ -144,3 +144,109 @@ def msm_naive(points, scalars):
     for pt, s in zip(points, scalars):
         acc = G1.add(acc, G1.mul(pt, s))
     return acc
+
+
+# --- Jacobian host arithmetic (no per-op inversion; ~8x faster than affine)
+
+
+def jac_from_affine(pt):
+    return None if pt is None else (pt[0], pt[1], 1)
+
+
+def jac_to_affine(j):
+    if j is None or j[2] == 0:
+        return None
+    zinv = pow(j[2], P - 2, P)
+    z2 = zinv * zinv % P
+    return (j[0] * z2 % P, j[1] * z2 % P * zinv % P)
+
+
+def jac_double(j):
+    if j is None or j[2] == 0:
+        return j
+    x, y, z = j
+    a = x * x % P
+    b = y * y % P
+    c = b * b % P
+    d = 2 * ((x + b) * (x + b) % P - a - c) % P
+    e = 3 * a % P
+    f = e * e % P
+    x3 = (f - 2 * d) % P
+    y3 = (e * (d - x3) - 8 * c) % P
+    z3 = 2 * y * z % P
+    return (x3, y3, z3)
+
+
+def jac_add(j1, j2):
+    if j1 is None or j1[2] == 0:
+        return j2
+    if j2 is None or j2[2] == 0:
+        return j1
+    x1, y1, z1 = j1
+    x2, y2, z2 = j2
+    z1z1 = z1 * z1 % P
+    z2z2 = z2 * z2 % P
+    u1 = x1 * z2z2 % P
+    u2 = x2 * z1z1 % P
+    s1 = y1 * z2 % P * z2z2 % P
+    s2 = y2 * z1 % P * z1z1 % P
+    if u1 == u2:
+        if s1 != s2:
+            return (0, 1, 0)
+        return jac_double(j1)
+    h = (u2 - u1) % P
+    i = 4 * h * h % P
+    jj = h * i % P
+    r = 2 * (s2 - s1) % P
+    v = u1 * i % P
+    x3 = (r * r - jj - 2 * v) % P
+    y3 = (r * (v - x3) - 2 * s1 * jj) % P
+    z3 = (z1 + z2) % P
+    z3 = (z3 * z3 - z1z1 - z2z2) % P * h % P
+    return (x3, y3, z3)
+
+
+def jac_add_affine(j, pt):
+    """Mixed addition j + affine pt."""
+    if pt is None:
+        return j
+    return jac_add(j, (pt[0], pt[1], 1))
+
+
+def jac_mul(pt, k: int):
+    k %= R
+    j = jac_from_affine(pt)
+    acc = None
+    while k:
+        if k & 1:
+            acc = jac_add(acc, j)
+        j = jac_double(j)
+        k >>= 1
+    return acc
+
+
+def host_msm_jac(points, scalars, c: int = 8):
+    """Host Pippenger over Jacobian coordinates; returns affine (or None)."""
+    nw = 256 // c
+    acc = None
+    for w in reversed(range(nw)):
+        if acc is not None:
+            for _ in range(c):
+                acc = jac_double(acc)
+        buckets: dict[int, tuple] = {}
+        for pt, s in zip(points, scalars):
+            if pt is None:
+                continue
+            d = (int(s) >> (c * w)) & ((1 << c) - 1)
+            if d:
+                buckets[d] = jac_add_affine(buckets.get(d), pt)
+        if buckets:
+            running = None
+            total = None
+            for d in range(max(buckets), 0, -1):
+                b = buckets.get(d)
+                if b is not None:
+                    running = jac_add(running, b)
+                total = jac_add(total, running) if running is not None else total
+            acc = jac_add(acc, total)
+    return jac_to_affine(acc)

@@ -152,57 +152,69 @@ def _dec_g2(b: bytes):
 
 
 def _batch_base_mul(scalars):
-    """[s*G for s in scalars] via a fixed-base window table (host)."""
+    """[s*G for s in scalars] via a fixed-base window table (host, Jacobian
+    accumulation with one batched normalization at the end)."""
+    from ..curves.bn254_curve import (
+        jac_add_affine, jac_to_affine, jac_double, jac_from_affine,
+    )
+
     g = g1_generator()
     c = 8
     windows = 256 // c
-    table = []  # table[w][d] = d * 2^(cw) * G
-    base = g
+    table = []  # table[w][d] = d * 2^(cw) * G, affine
+    base = jac_from_affine(g)
     for w in range(windows):
-        row = [None] * (1 << c)
+        row_j = []
         acc = None
-        for d in range(1, 1 << c):
-            acc = G1.add(acc, base)
-            row[d] = acc
-        table.append(row)
+        base_aff = jac_to_affine(base)
+        for _d in range(1, 1 << c):
+            acc = jac_add_affine(acc, base_aff)
+            row_j.append(acc)
+        table.append([None] + _batch_to_affine(row_j))
         for _ in range(c):
-            base = G1.double(base)
-    out = []
+            base = jac_double(base)
+    out_j = []
     for s in scalars:
         acc = None
         s = int(s) % FR_MOD
         for w in range(windows):
             d = (s >> (c * w)) & ((1 << c) - 1)
             if d:
-                acc = G1.add(acc, table[w][d])
-        out.append(acc)
+                acc = jac_add_affine(acc, table[w][d])
+        out_j.append(acc)
+    return _batch_to_affine(out_j)
+
+
+def _batch_to_affine(jacs):
+    """Batch-normalize Jacobian points (one field inversion total)."""
+    from ..curves.bn254_curve import P as _P
+
+    idx = [i for i, j in enumerate(jacs) if j is not None and j[2] % _P != 0]
+    zs = [jacs[i][2] for i in idx]
+    out = [None] * len(jacs)
+    if not zs:
+        return out
+    prefix = [1]
+    for z in zs:
+        prefix.append(prefix[-1] * z % _P)
+    inv = pow(prefix[-1], _P - 2, _P)
+    invs = [0] * len(zs)
+    for i in range(len(zs) - 1, -1, -1):
+        invs[i] = inv * prefix[i] % _P
+        inv = inv * zs[i] % _P
+    for k, i in enumerate(idx):
+        x, y, _z = jacs[i]
+        zi = invs[k]
+        z2 = zi * zi % _P
+        out[i] = (x * z2 % _P, y * z2 % _P * zi % _P)
     return out
 
 
 def _host_msm(points, scalars):
-    """Host Pippenger (8-bit windows); fast enough for small commits."""
-    c = 8
-    nw = 256 // c
-    acc = None
-    for w in reversed(range(nw)):
-        if acc is not None:
-            for _ in range(c):
-                acc = G1.double(acc)
-        buckets = {}
-        for pt, s in zip(points, scalars):
-            if pt is None:
-                continue
-            d = (int(s) >> (c * w)) & ((1 << c) - 1)
-            if d:
-                buckets[d] = G1.add(buckets.get(d), pt)
-        if buckets:
-            running = None
-            total = None
-            for d in range(max(buckets), 0, -1):
-                running = G1.add(running, buckets.get(d))
-                total = G1.add(total, running)
-            acc = G1.add(acc, total)
-    return acc
+    """Host Pippenger (Jacobian, batched); for sub-threshold commits."""
+    from ..curves.bn254_curve import host_msm_jac
+
+    return host_msm_jac(points, scalars)
 
 
 # --- device commit/open -------------------------------------------------------

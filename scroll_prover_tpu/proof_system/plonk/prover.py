@@ -16,6 +16,8 @@ NTT/coset-FFT, quotient poly, permutation/lookup grand products").
 from __future__ import annotations
 
 import hashlib
+import logging
+import time
 from dataclasses import dataclass
 
 import jax.numpy as jnp
@@ -32,6 +34,7 @@ from .keygen import DELTA, ProvingKey
 from .mock import _pad_instance
 
 F = FR_LIMB
+log = logging.getLogger(__name__)
 
 
 def _mont(vals) -> jnp.ndarray:
@@ -93,6 +96,8 @@ def prove(
     u = usable - 1
     omega = dom.omega
 
+    _t0 = time.perf_counter()
+    _mark = lambda msg: log.debug("prove[%s] %.1fs", msg, time.perf_counter() - _t0)
     inst = _pad_instance(cs, n, instance)
     tables = circuit.assign(cs, n, inst)
     advice_vals = [
@@ -114,6 +119,7 @@ def prove(
     for p in advice_polys:
         tr.write_point(kzg_commit(srs, p))
 
+    _mark("advice committed")
     theta = tr.squeeze_challenge()
 
     # --- phase 2: lookups -------------------------------------------------
@@ -161,6 +167,7 @@ def prove(
         tr.write_point(kzg_commit(srs, lk["a_poly"]))
         tr.write_point(kzg_commit(srs, lk["s_poly"]))
 
+    _mark("lookups committed")
     beta = tr.squeeze_challenge()
     gamma = tr.squeeze_challenge()
 
@@ -222,6 +229,7 @@ def prove(
         tr.write_point(kzg_commit(srs, zp))
 
     # --- phase 4: vanishing / quotient ------------------------------------
+    _mark("grand products committed")
     random_poly = _mont(_blind(seed, "rand", n))
     random_poly = dom.intt(random_poly)
     tr.write_point(kzg_commit(srs, random_poly))
@@ -233,8 +241,10 @@ def prove(
         pk.sigma_polys, perm_z_polys, lookups, lookup_z_polys,
         chunks, theta, beta, gamma, y, u, _debug=_debug,
     )
+    _mark("quotient built")
     for p in h_chunk_polys:
         tr.write_point(kzg_commit(srs, p))
+    _mark("quotient committed")
 
     x = tr.squeeze_challenge()
 
@@ -300,6 +310,7 @@ def prove(
             evals=[(pt, val) for _, pt, val in queries],
         )
 
+    _mark("evals written")
     v_ch = tr.squeeze_challenge()
 
     # --- phase 6: GWC multiopen ------------------------------------------
@@ -313,6 +324,7 @@ def prove(
         q = poly_ops.kzg_quotient_mont(F, comb, _mont_scalar(point))
         tr.write_point(kzg_commit(srs, q))
 
+    _mark("multiopen done")
     return tr.finalize()
 
 

@@ -1,0 +1,115 @@
+"""ScrollSuperCircuit: all 15 subcircuits over one constraint system.
+
+Mirrors the reference's `ScrollSuperCircuit` as consumed by mock proving and
+chunk proving (integration/src/mock.rs:21 `new_from_block`, SURVEY.md L3a).
+The production inner degree is 2^20 (reference README.md:21, `INNER_DEGREE`
+at mock.rs:9); tests auto-shrink the domain to fit the witness.
+
+Public input (instance column 0) — the chunk-info layout consumed by the
+aggregation layer (ChunkInfo, SURVEY.md section 2.3):
+  [chain_id,
+   prev_state_root_hi, prev_state_root_lo,
+   post_state_root_hi, post_state_root_lo,
+   withdraw_root_hi,   withdraw_root_lo,
+   data_hash_hi,       data_hash_lo]
+"""
+from __future__ import annotations
+
+from ..fields.bn254 import FR_MOD
+from ..proof_system.plonk.cs import Circuit, ConstraintSystem, empty_assignment
+from ..witness.block import WitnessBlock
+from ..witness.capacity import row_usage_of_witness_block
+from .subcircuits import (
+    BytecodeSubCircuit, EvmSubCircuit, ExpSubCircuit, PiSubCircuit,
+    PoseidonSubCircuit, StateSubCircuit, TableSubCircuit, TxSubCircuit,
+)
+
+INNER_DEGREE = 20  # production inner-circuit degree (reference README.md:21)
+
+_TABLE_SUBCIRCUITS = ["copy", "keccak", "sha256", "rlp", "mod_exp", "sig", "ecc", "mpt"]
+
+# placeholder-table subcircuits assign a bounded sample region in test-scale
+# domains (full production capacity is the CCC-reported row_usages metadata)
+_TABLE_REGION_CAP = 512
+
+
+def _hex_halves(h: str) -> tuple[int, int]:
+    v = int(h, 16) if h and h.startswith("0x") else int(h or "0", 16)
+    return (v >> 128) % FR_MOD, v & ((1 << 128) - 1)
+
+
+def chunk_instance(wb: WitnessBlock) -> list[int]:
+    ph, pl = _hex_halves(wb.prev_state_root)
+    oh, ol = _hex_halves(wb.post_state_root)
+    wh, wl = _hex_halves(wb.withdraw_root)
+    dh = int.from_bytes(wb.data_hash(), "big")
+    return [
+        wb.chain_id % FR_MOD, ph, pl, oh, ol, wh, wl,
+        (dh >> 128), dh & ((1 << 128) - 1),
+    ]
+
+
+class ScrollSuperCircuit(Circuit):
+    def __init__(self, wb: WitnessBlock):
+        self.wb = wb
+        self._row_cap_hint = None
+
+    @classmethod
+    def new_from_block(cls, wb: WitnessBlock) -> "ScrollSuperCircuit":
+        return cls(wb)
+
+    # -- shape -------------------------------------------------------------
+    def min_k(self) -> int:
+        """Smallest domain exponent that fits this witness (test shrink)."""
+        usage = row_usage_of_witness_block(self.wb)
+        rows = max(
+            max(min(d.row_number, _TABLE_REGION_CAP) for d in usage.row_usage_details),
+            self.wb.num_steps + 2,
+            1200,  # poseidon sponge region
+        )
+        k = max((rows + 16).bit_length(), 8)
+        return k
+
+    # -- circuit interface -------------------------------------------------
+    def configure(self, cs: ConstraintSystem):
+        self.instance = cs.instance_column()
+        self.byte_table = cs.fixed_column()
+        self.pi = PiSubCircuit().configure(cs, self.instance)
+        self.tx = TxSubCircuit().configure(cs)
+        self.bytecode = BytecodeSubCircuit().configure(cs, self.byte_table)
+        self.evm = EvmSubCircuit().configure(cs)
+        self.state = StateSubCircuit().configure(cs)
+        self.exp = ExpSubCircuit().configure(cs)
+        self.poseidon = PoseidonSubCircuit().configure(cs)
+        self.tables = {
+            name: TableSubCircuit(name).configure(cs) for name in _TABLE_SUBCIRCUITS
+        }
+        self.row_usages_: dict[str, int] = {}
+
+    def assign(self, cs: ConstraintSystem, n: int, instance):
+        fixed = empty_assignment(cs.num_fixed, n)
+        adv = empty_assignment(cs.num_advice, n)
+        wb = self.wb
+        for b in range(256):
+            fixed[self.byte_table.index][b] = b
+
+        used = {}
+        # pi table is assigned from the WITNESS (not the passed instance):
+        # the copy constraints are what bind instance == witness chunk info
+        used["pi"] = self.pi.assign(cs, adv, n, wb, chunk_instance(wb), 0)
+        used["tx"] = self.tx.assign(cs, fixed, adv, n, wb, 0)
+        used["bytecode"] = self.bytecode.assign(cs, fixed, adv, n, wb, 0)
+        used["evm"] = self.evm.assign(cs, fixed, adv, n, wb, 0)
+        used["state"] = self.state.assign(cs, fixed, adv, n, wb, 0)
+        used["exp"] = self.exp.assign(cs, fixed, adv, n, wb, 0)
+        used["poseidon"] = self.poseidon.assign(cs, fixed, adv, n, wb, 0)
+        usage = row_usage_of_witness_block(wb).as_dict()
+        for name, tc in self.tables.items():
+            used[name] = tc.assign(
+                cs, adv, n, min(usage.get(name, 0), _TABLE_REGION_CAP), 0
+            )
+        self.row_usages_ = used
+        return {"fixed": fixed, "advice": adv}
+
+    def instance_for(self) -> list[list[int]]:
+        return [chunk_instance(self.wb)]
