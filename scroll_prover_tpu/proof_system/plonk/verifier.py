@@ -20,7 +20,8 @@ def verify(
     srs: SRS, vk: VerifyingKey, instance, proof: bytes,
     transcript_cls=PoseidonTranscript,
     _debug: dict | None = None,
-) -> bool:
+    return_pairing_inputs: bool = False,
+):
     cs: ConstraintSystem = vk.cs
     dom = vk.domain
     n = dom.n
@@ -250,6 +251,10 @@ def verify(
         rhs_acc = G1.add(rhs_acc, term if upow == 1 else G1.mul(term, upow))
         upow = upow * u_ch % FR_MOD
 
+    if return_pairing_inputs:
+        # (A, B) with acceptance condition e(A, s*G2) == e(B, G2) — the
+        # EVM verifier contract consumes these (evm/verifier_contract.py)
+        return lhs_acc, rhs_acc
     return pr.pairing_check(
         [(lhs_acc, srs.s_g2), (G1.neg(rhs_acc), srs.g2)]
     )
