@@ -1,0 +1,34 @@
+# Make targets mirroring the reference's Makefile tiers (SURVEY.md section 4).
+CHAIN_ID ?= 534352
+export CHAIN_ID
+
+.PHONY: test test-ccc test-mock-prove test-chunk-prove test-batch-prove \
+        test-bundle-prove test-e2e-prove native bench fmt clean
+
+native:
+	$(MAKE) -C scroll_prover_tpu/native
+
+# fast unit tier (reference `make test`)
+test:
+	python -m pytest tests/ -q -x
+
+# capacity-checker tier (reference test-ccc)
+test-ccc:
+	python -m pytest tests/test_witness_ccc.py -q
+
+# MockProver constraint tier (reference test-mock-prove)
+test-mock-prove:
+	python -m pytest tests/test_super_circuit.py -q
+
+# real-proving tiers (slow; mirror chunk/batch/bundle/e2e test targets)
+test-chunk-prove:
+	SPT_E2E=1 python -m pytest tests/test_aggregation.py::test_full_ladder_e2e -q
+
+test-e2e-prove: test-chunk-prove
+
+bench:
+	python bench.py
+
+clean:
+	$(MAKE) -C scroll_prover_tpu/native clean
+	rm -rf .jax_cache .pytest_cache outputs
