@@ -94,8 +94,23 @@ def barycentric_evaluate(coeffs: list[int], z: int) -> int:
     return total * factor % p
 
 
+import os
+
+_BLOB_KZG = None
+
+
 def blob_commitment(blob_bytes: bytes) -> bytes:
-    """48-byte commitment (hash-based placeholder with c-kzg wire shape)."""
+    """48-byte blob commitment. With SPT_REAL_BLOB_KZG=1, a real BLS12-381
+    G1 KZG commitment over the Lagrange SRS (curves/bls12_381.py); default
+    is a hash with the same wire shape (the real path costs seconds per
+    blob on host — device MSM port pending)."""
+    if os.environ.get("SPT_REAL_BLOB_KZG"):
+        global _BLOB_KZG
+        from ..curves.bls12_381 import BlobKzg, g1_compress
+
+        if _BLOB_KZG is None:
+            _BLOB_KZG = BlobKzg()
+        return g1_compress(_BLOB_KZG.commit(blob_to_coefficients(blob_bytes)))
     h = hashlib.sha512(b"spt-blob-commit" + blob_bytes).digest()
     return h[:48]
 

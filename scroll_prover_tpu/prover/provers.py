@@ -311,7 +311,63 @@ class BatchProver:
         proof = BundleProof(layers=[layer5, layer6])
         if output_dir:
             proof.dump(output_dir, "recursion")
+            self._dump_release_artifacts(proof, layer6, output_dir)
         return proof
+
+    def _dump_release_artifacts(self, proof, layer6, output_dir: str):
+        """Release-artifact protocol (reference release.sh:9-41 +
+        SCROLL_PROVER_DUMP_YUL, Makefile:51): evm_verifier.{yul,bin},
+        pi_bundle_recursion.data, proof_bundle_recursion.data."""
+        import os
+
+        from ..utils.env import read_env_var
+        from ..proof_system.transcript import KeccakTranscript
+        from ..evm.harness import DEPLOYMENT_CODE_FILENAME
+        from ..evm.verifier_contract import gen_verifier_bytecode
+        from ..evm.yul_gen import gen_evm_verifier_yul
+        from .proofs import encode_instances
+
+        k = layer6.protocol["domain"]["k"]
+        srs = self._srs_for(k)
+        with open(os.path.join(output_dir, "pi_bundle_recursion.data"), "wb") as fh:
+            fh.write(encode_instances(layer6.instances))
+        with open(os.path.join(output_dir, "proof_bundle_recursion.data"), "wb") as fh:
+            fh.write(layer6.proof)
+        bytecode = gen_verifier_bytecode(srs.g2, srs.s_g2)
+        with open(os.path.join(output_dir, DEPLOYMENT_CODE_FILENAME), "wb") as fh:
+            fh.write(bytecode)
+        if read_env_var("SCROLL_PROVER_DUMP_YUL", True):
+            circ = CompressionCircuit(
+                proof.layers[0].instances, proof.layers[0].proof
+            )
+            key = f"verify_{layer6.vk_id}"
+            _pk, vk = self._kg.get(srs, k, circ, key)
+            with open(os.path.join(output_dir, "evm_verifier.yul"), "w") as fh:
+                fh.write(gen_evm_verifier_yul(vk, srs, len(layer6.instances)))
+
+    def evm_verify_bundle(self, proof, output_dir: str) -> int | None:
+        """Execute the bundle proof's final pairing check inside the EVM
+        (reference flow: EVMVerifier::from_dirs + verify_evm_proof,
+        prove.rs:103)."""
+        from ..evm.harness import EVMVerifier
+        from ..proof_system.plonk.verifier import verify as plonk_verify2
+        from ..proof_system.transcript import KeccakTranscript
+        from .compression import CompressionCircuit
+
+        l5, l6 = proof.layers
+        k = l6.protocol["domain"]["k"]
+        srs = self._srs_for(k)
+        circ = CompressionCircuit(l5.instances, l5.proof)
+        _pk, vk = self._kg.get(srs, k, circ, f"verify_{l6.vk_id}")
+        a_pt, b_pt = plonk_verify2(
+            srs, vk, [l6.instances], l6.proof,
+            transcript_cls=KeccakTranscript, return_pairing_inputs=True,
+        )
+        calldata = (
+            a_pt[0].to_bytes(32, "big") + a_pt[1].to_bytes(32, "big")
+            + b_pt[0].to_bytes(32, "big") + b_pt[1].to_bytes(32, "big")
+        )
+        return EVMVerifier.from_dirs(output_dir).verify_evm_proof(calldata)
 
 
 class BatchVerifier:

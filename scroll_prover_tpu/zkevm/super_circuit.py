@@ -81,9 +81,11 @@ class ScrollSuperCircuit(Circuit):
         self.state = StateSubCircuit().configure(cs)
         self.exp = ExpSubCircuit().configure(cs)
         self.poseidon = PoseidonSubCircuit().configure(cs)
-        self.tables = {
-            name: TableSubCircuit(name).configure(cs) for name in _TABLE_SUBCIRCUITS
-        }
+        # the 8 committed-table subcircuits share one physical table with a
+        # which-subcircuit id column (keeps the advice count — and hence
+        # proof size and compression-layer domains — small)
+        self.shared_table = TableSubCircuit("tables", width=2).configure(cs)
+        self.table_id = cs.advice_column()
         self.row_usages_: dict[str, int] = {}
 
     def assign(self, cs: ConstraintSystem, n: int, instance):
@@ -104,10 +106,14 @@ class ScrollSuperCircuit(Circuit):
         used["exp"] = self.exp.assign(cs, fixed, adv, n, wb, 0)
         used["poseidon"] = self.poseidon.assign(cs, fixed, adv, n, wb, 0)
         usage = row_usage_of_witness_block(wb).as_dict()
-        for name, tc in self.tables.items():
-            used[name] = tc.assign(
-                cs, adv, n, min(usage.get(name, 0), _TABLE_REGION_CAP), 0
-            )
+        row = 0
+        for ti, name in enumerate(_TABLE_SUBCIRCUITS):
+            rows = min(usage.get(name, 0), _TABLE_REGION_CAP // 8)
+            got = self.shared_table.assign(cs, adv, n, rows, row)
+            for r in range(row, row + got):
+                adv[self.table_id.index][r] = ti + 1
+            row += got
+            used[name] = got
         self.row_usages_ = used
         return {"fixed": fixed, "advice": adv}
 

@@ -134,6 +134,10 @@ def test_full_ladder_e2e():
     )
     from scroll_prover_tpu.prover.tasks import BatchProvingTask, BundleProvingTask
 
+    import tempfile
+
+    from scroll_prover_tpu.prover import BatchProver
+
     params = {}
     chunk_proof = prove_and_verify_chunk(params, "", [synthetic_trace()], "c0")
     infos = [chunk_proof.inner.chunk_info()]
@@ -141,5 +145,15 @@ def test_full_ladder_e2e():
     header = BatchHeader.construct_from_chunks(4, 0, 0, 0, b"\x00" * 32, 5, infos, blob)
     task = BatchProvingTask([chunk_proof], header, blob)
     batch_proof = prove_and_verify_batch(params, "", task)
-    bundle = prove_and_verify_bundle(params, "", BundleProvingTask([batch_proof]))
+    out = tempfile.mkdtemp()
+    bundle = prove_and_verify_bundle(params, "", BundleProvingTask([batch_proof]), out)
     assert bundle.calldata()
+    # release artifacts + EVM verification of the final pairing check
+    bp = BatchProver.from_params_and_assets(params, "")
+    gas = bp.evm_verify_bundle(bundle, out)
+    assert gas and gas > 100_000
+    import os
+
+    for f in ("evm_verifier.bin", "evm_verifier.yul", "pi_bundle_recursion.data",
+              "proof_bundle_recursion.data"):
+        assert os.path.exists(os.path.join(out, f)), f
