@@ -70,8 +70,10 @@ class _SpongeAggCircuit(Circuit):
         return 1 + len(self.context)
 
     def min_k(self) -> int:
+        from ..prover.compression import _canonical_k
+
         blocks = (len(self._elems) + 2) // 2
-        return max((blocks * 67 + 24).bit_length(), 8)
+        return _canonical_k(max((blocks * 67 + 24).bit_length(), 8))
 
     def configure(self, cs: ConstraintSystem):
         self.instance = cs.instance_column()

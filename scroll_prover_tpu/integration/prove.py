@@ -45,7 +45,14 @@ def get_blob_from_chunks(chunk_infos: list) -> bytes:
     return get_blob_bytes(bd.get_batch_data_bytes())
 
 
-def new_batch_prover(params_map, assets_dir: str = "") -> BatchProver:
+def new_batch_prover(params_map, assets_dir: str = "", chunk_protocol: str = "") -> BatchProver:
+    """Mirrors prove.rs:11-16: records the chunk protocol the batch prover
+    must aggregate against (HALO2_CHUNK_PROTOCOL / SP1_CHUNK_PROTOCOL)."""
+    import os
+
+    if chunk_protocol:
+        os.environ.setdefault("HALO2_CHUNK_PROTOCOL", chunk_protocol)
+        os.environ.setdefault("SP1_CHUNK_PROTOCOL", chunk_protocol)
     return BatchProver.from_params_and_assets(params_map, assets_dir)
 
 

