@@ -224,9 +224,11 @@ def _to_standard_limbs(coeffs_mont):
     return fo.from_mont(FR_LIMB, coeffs_mont)
 
 
-# below this size, the XLA compile cost of the device MSM dwarfs the work;
-# host Pippenger handles test/aggregation-sized commits
-DEVICE_MSM_THRESHOLD = int(os.environ.get("SPT_DEVICE_MSM_THRESHOLD", "4096"))
+# below this size, the XLA compile cost of the device MSM dwarfs the work
+# (at n=8192 the CPU compile ran >15 min at 6.5 GB RSS); host Pippenger
+# handles test-scale commits, and real-TPU deployments lower this via env
+# once the one-time kernel compile is paid
+DEVICE_MSM_THRESHOLD = int(os.environ.get("SPT_DEVICE_MSM_THRESHOLD", "65536"))
 
 
 def kzg_commit(srs: SRS, coeffs_mont, basis: str = "monomial"):

@@ -97,7 +97,7 @@ def prove(
     omega = dom.omega
 
     _t0 = time.perf_counter()
-    _mark = lambda msg: log.debug("prove[%s] %.1fs", msg, time.perf_counter() - _t0)
+    _mark = lambda msg: log.info("prove[%s] %.1fs", msg, time.perf_counter() - _t0)
     inst = _pad_instance(cs, n, instance)
     tables = circuit.assign(cs, n, inst)
     advice_vals = [

@@ -169,6 +169,7 @@ class ChunkVerifier:
                 log.error("layer%d instance binding mismatch", li)
                 return False
             if not self._verify_payload(outer, CompressionCircuit(innerp.instances, innerp.proof)):
+                log.error("layer%d SNARK verification failed", li)
                 return False
         # inner proof: rebuild vk from the witness-block shape is not
         # possible without the witness; the vk commitment is bound via
@@ -213,7 +214,10 @@ class ChunkVerifier:
         if vk is None:
             log.warning("inner vk %s not in registry; verifying binding only", payload.vk_id)
             return True
-        return plonk_verify(srs, vk, [payload.instances], payload.proof)
+        ok = plonk_verify(srs, vk, [payload.instances], payload.proof)
+        if not ok:
+            log.error("inner SNARK verification failed")
+        return ok
 
 
 class BatchProver:
