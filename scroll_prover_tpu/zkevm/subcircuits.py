@@ -376,22 +376,29 @@ class PoseidonSubCircuit:
 
 
 class TableSubCircuit:
-    """Generic committed-table subcircuit: tag column must be boolean."""
+    """Generic committed-table subcircuit: tag column must be boolean.
+
+    The tag gate is gated by a fixed enable column: every gate must vanish
+    on ALL rows (the quotient divides by X^n - 1), and the advice blinding
+    rows are random — an ungated advice gate breaks exact division.
+    """
 
     def __init__(self, name: str, width: int = 2):
         self.name = name
         self.width = width
 
     def configure(self, cs: ConstraintSystem):
+        self.q = cs.fixed_column()
         self.tag = cs.advice_column()
         self.cols = [cs.advice_column() for _ in range(self.width)]
         t = self.tag.query()
-        cs.gate(f"{self.name}/tag_bool", t * (t - 1))
+        cs.gate(f"{self.name}/tag_bool", self.q.query() * t * (t - 1))
         return self
 
-    def assign(self, cs, adv, n, rows: int, row0: int, fill=None) -> int:
+    def assign(self, cs, fixed, adv, n, rows: int, row0: int, fill=None) -> int:
         rows = min(rows, n - row0 - 8)
         for i in range(rows):
+            fixed[self.q.index][row0 + i] = 1
             adv[self.tag.index][row0 + i] = 1
             if fill:
                 for c, vals in zip(self.cols, fill):

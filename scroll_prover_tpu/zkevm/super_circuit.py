@@ -109,7 +109,7 @@ class ScrollSuperCircuit(Circuit):
         row = 0
         for ti, name in enumerate(_TABLE_SUBCIRCUITS):
             rows = min(usage.get(name, 0), _TABLE_REGION_CAP // 8)
-            got = self.shared_table.assign(cs, adv, n, rows, row)
+            got = self.shared_table.assign(cs, fixed, adv, n, rows, row)
             for r in range(row, row + got):
                 adv[self.table_id.index][r] = ti + 1
             row += got
