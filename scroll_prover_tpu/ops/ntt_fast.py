@@ -110,6 +110,51 @@ def _km_mont_mul(p_rows, a, b):
     return _km_cond_sub(p_rows, out, cc)
 
 
+def _butterfly4_kernel(
+    v0_ref, v1_ref, v2_ref, v3_ref, ta_ref, tb_ref, tc_ref, p_ref,
+    y0_ref, y1_ref, y2_ref, y3_ref,
+):
+    """Radix-4: two fused DIF levels. Inputs are the four quarter-planes of
+    each block; ta/tb are the first-level twiddles for the (0,2)/(1,3)
+    pairs, tc the second-level twiddle."""
+    v = [[r[j] for j in range(N_LIMBS)] for r in (v0_ref, v1_ref, v2_ref, v3_ref)]
+    ta = [ta_ref[j] for j in range(N_LIMBS)]
+    tb = [tb_ref[j] for j in range(N_LIMBS)]
+    tc = [tc_ref[j] for j in range(N_LIMBS)]
+    p = [p_ref[j, 0] for j in range(N_LIMBS)]
+    # level 1: pairs (0,2) and (1,3)
+    s0 = _km_add(p, v[0], v[2])
+    d0 = _km_mont_mul(p, _km_sub(p, v[0], v[2]), ta)
+    s1 = _km_add(p, v[1], v[3])
+    d1 = _km_mont_mul(p, _km_sub(p, v[1], v[3]), tb)
+    # level 2: pairs (s0,s1) and (d0,d1), same twiddle
+    y0 = _km_add(p, s0, s1)
+    y1 = _km_mont_mul(p, _km_sub(p, s0, s1), tc)
+    y2 = _km_add(p, d0, d1)
+    y3 = _km_mont_mul(p, _km_sub(p, d0, d1), tc)
+    for j in range(N_LIMBS):
+        y0_ref[j] = y0[j]
+        y1_ref[j] = y1[j]
+        y2_ref[j] = y2[j]
+        y3_ref[j] = y3[j]
+
+
+def butterfly4_t(v0, v1, v2, v3, ta, tb, tc, interpret: bool = False):
+    """Limb-major radix-4 butterfly: 4x (L, m) + 3 twiddles -> 4 outputs."""
+    L, m = v0.shape
+    tile = min(TILE, m)
+    assert m % tile == 0
+    bs = pl.BlockSpec((L, tile), lambda i: (0, i))
+    return pl.pallas_call(
+        _butterfly4_kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((L, m), v0.dtype) for _ in range(4)),
+        grid=(m // tile,),
+        in_specs=[bs] * 7 + [pl.BlockSpec((L, 1), lambda i: (0, 0))],
+        out_specs=(bs, bs, bs, bs),
+        interpret=interpret,
+    )(v0, v1, v2, v3, ta, tb, tc, jnp.asarray(F.p_limbs, dtype=jnp.uint32)[:, None])
+
+
 def _butterfly_kernel(u_ref, w_ref, tw_ref, p_ref, s_ref, d_ref):
     u = [u_ref[j] for j in range(N_LIMBS)]
     w = [w_ref[j] for j in range(N_LIMBS)]
@@ -167,6 +212,9 @@ class FastDomain:
         interp = self.interpret
         idx = jnp.arange(nh, dtype=jnp.uint32)
 
+        nq = n // 4
+        idx4 = jnp.arange(nq, dtype=jnp.uint32)
+
         def stage(s: int, x, tw):
             # x: (L, n) limb-major
             half = n >> (s + 1)
@@ -181,7 +229,36 @@ class FastDomain:
                 axis=2,
             ).reshape(N_LIMBS, n)
 
-        stages = [jax.jit(lambda x, tw, _s=s: stage(_s, x, tw)) for s in range(k)]
+        def stage4(s: int, x, tw):
+            # fused stages s and s+1
+            q = n >> (s + 2)
+            blocks = 1 << s
+            arr = x.reshape(N_LIMBS, blocks, 4, q)
+            vs = [arr[:, :, i].reshape(N_LIMBS, nq) for i in range(4)]
+            jp = idx4 & jnp.uint32(q - 1)  # j' within block
+            ta = jnp.take(tw, (jp << s) & jnp.uint32(nh - 1), axis=1)
+            tb = jnp.take(tw, ((jp + jnp.uint32(q)) << s) & jnp.uint32(nh - 1), axis=1)
+            tc = jnp.take(tw, (jp << (s + 1)) & jnp.uint32(nh - 1), axis=1)
+            ys = butterfly4_t(*vs, ta, tb, tc, interp)
+            return jnp.stack(
+                [y.reshape(N_LIMBS, blocks, q) for y in ys], axis=2
+            ).reshape(N_LIMBS, n)
+
+        stages = []
+        s = 0
+        # radix-4 fusion halves kernel dispatches but currently fails the
+        # remote Mosaic compile (tpu_compile_helper exit 1) — opt-in via
+        # SPT_NTT_RADIX4=1 for debugging; radix-2 is the proven default
+        import os as _os
+
+        use_r4 = (not interp) and bool(_os.environ.get("SPT_NTT_RADIX4"))
+        while s < k:
+            if use_r4 and s + 1 < k:
+                stages.append(jax.jit(lambda x, tw, _s=s: stage4(_s, x, tw)))
+                s += 2
+            else:
+                stages.append(jax.jit(lambda x, tw, _s=s: stage(_s, x, tw)))
+                s += 1
         pre = jax.jit(lambda x: x.T.copy())           # (n, L) -> (L, n)
         post = jax.jit(lambda x, br: jnp.take(x, br, axis=1).T.copy())
         return stages, pre, post
