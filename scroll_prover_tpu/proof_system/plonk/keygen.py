@@ -51,6 +51,58 @@ class VerifyingKey:
         h += len(self.cs.gates).to_bytes(4, "big")
         return int.from_bytes(keccak256(bytes(h)), "big") % FR_MOD
 
+    def to_bytes(self) -> bytes:
+        """Serialize for out-of-process verification (reference vk layout:
+        u32-be k then commitments — release-v0.13.1/vk_chunk.vkey starts
+        0x00000019; SURVEY.md section 2.4), followed by the constraint-system
+        shape so a fresh process can verify without re-running keygen."""
+        import pickle
+
+        head = bytearray(b"SPTVK1")
+        head += self.k.to_bytes(4, "big")
+        head += len(self.fixed_commitments).to_bytes(4, "big")
+        head += len(self.sigma_commitments).to_bytes(4, "big")
+        for c in self.fixed_commitments + self.sigma_commitments:
+            head += b"\x00" * 64 if c is None else (
+                c[0].to_bytes(32, "little") + c[1].to_bytes(32, "little")
+            )
+        blob = pickle.dumps(
+            {"gates": self.cs.gates, "lookups": self.cs.lookups,
+             "perm_columns": self.cs.perm_columns,
+             "num_fixed": self.cs.num_fixed, "num_advice": self.cs.num_advice,
+             "num_instance": self.cs.num_instance,
+             "num_challenges": self.cs.num_challenges}
+        )
+        return bytes(head) + len(blob).to_bytes(8, "big") + blob
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "VerifyingKey":
+        import pickle
+
+        assert data[:6] == b"SPTVK1", "bad vk magic"
+        k = int.from_bytes(data[6:10], "big")
+        nf = int.from_bytes(data[10:14], "big")
+        ns = int.from_bytes(data[14:18], "big")
+        off = 18
+        coms = []
+        for _ in range(nf + ns):
+            x = int.from_bytes(data[off : off + 32], "little")
+            y = int.from_bytes(data[off + 32 : off + 64], "little")
+            coms.append(None if x == y == 0 else (x, y))
+            off += 64
+        blen = int.from_bytes(data[off : off + 8], "big")
+        shape = pickle.loads(data[off + 8 : off + 8 + blen])
+        cs = ConstraintSystem()
+        cs.gates = shape["gates"]
+        cs.lookups = shape["lookups"]
+        cs.perm_columns = shape["perm_columns"]
+        cs.num_fixed = shape["num_fixed"]
+        cs.num_advice = shape["num_advice"]
+        cs.num_instance = shape["num_instance"]
+        cs.num_challenges = shape["num_challenges"]
+        dom = EvaluationDomain(k, _extended_j(cs))
+        return cls(k, cs, coms[:nf], coms[nf:], dom)
+
 
 @dataclass
 class ProvingKey:

@@ -85,9 +85,15 @@ def prove(
     circuit,
     instance,
     transcript_cls=PoseidonTranscript,
-    seed: bytes = b"scroll-prover-tpu",
+    seed: bytes | None = None,
     _debug: dict | None = None,
 ) -> bytes:
+    # blinding entropy: fresh per proof by default (zero-knowledge); a fixed
+    # seed is for deterministic tests only (round-1 ADVICE medium finding)
+    if seed is None:
+        import os as _os
+
+        seed = _os.urandom(32)
     vk = pk.vk
     cs: ConstraintSystem = vk.cs
     dom = vk.domain

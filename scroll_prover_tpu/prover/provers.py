@@ -16,6 +16,8 @@ from __future__ import annotations
 import logging
 import os
 
+from ..fields.bn254 import FR_MOD
+
 from ..proof_system import kzg
 from ..proof_system.plonk.keygen import keygen
 from ..proof_system.plonk.prover import prove as plonk_prove
@@ -56,14 +58,15 @@ def load_params_map(params_dir: str, degrees: list[int]) -> dict[int, kzg.SRS]:
 class _KeygenCache:
     """(circuit-shape id) -> (pk, vk); keygen is deterministic per shape."""
 
-    def __init__(self):
+    def __init__(self, assets_dir: str = ""):
         self._cache: dict[str, tuple] = {}
+        self.assets_dir = assets_dir
 
     def get(self, srs, k, circuit, shape_id: str):
         key = f"{shape_id}_k{k}"
         if key not in self._cache:
             pk, vk = keygen(srs, k, circuit)
-            register_vk(vk)
+            register_vk(vk, self.assets_dir)
             self._cache[key] = (pk, vk)
         return self._cache[key]
 
@@ -72,7 +75,7 @@ class ChunkProver:
     def __init__(self, params_map: dict[int, kzg.SRS], assets_dir: str = ""):
         self.params_map = params_map
         self.assets_dir = assets_dir
-        self._kg = _KeygenCache()
+        self._kg = _KeygenCache(assets_dir)
 
     @classmethod
     def from_params_and_assets(cls, params_map, assets_dir: str = "") -> "ChunkProver":
@@ -146,7 +149,7 @@ class ChunkVerifier:
     def __init__(self, params_map: dict[int, kzg.SRS], assets_dir: str = ""):
         self.params_map = params_map
         self.assets_dir = assets_dir
-        self._kg = _KeygenCache()
+        self._kg = _KeygenCache(assets_dir)
 
     @classmethod
     def from_params_and_assets(cls, params_map, assets_dir: str = "") -> "ChunkVerifier":
@@ -180,7 +183,11 @@ class ChunkVerifier:
     def _verify_payload(self, payload: ProofPayload, circuit) -> bool:
         k = payload.protocol["domain"]["k"]
         srs = self._srs_for(k)
-        _pk, vk = self._kg.get(srs, k, circuit, f"verify_{payload.vk_id}")
+        vk = load_vk(payload.vk_id, self.assets_dir)
+        if vk is None:
+            # reconstructible circuit shapes (compression layers) can be
+            # re-keygen'd in-process; the vk-id equality below still gates
+            _pk, vk = self._kg.get(srs, k, circuit, f"verify_{payload.vk_id}")
         if hex(vk.transcript_repr()) != payload.vk_id:
             log.error("vk mismatch for compression layer")
             return False
@@ -204,16 +211,24 @@ class ChunkVerifier:
         if got[:7] != want[:7]:
             log.error("inner instance/chunk_info mismatch")
             return False
+        # data_hash halves are bound against the claimed chunk_info field
+        dh = int(chunk_info.data_hash, 16)
+        if got[7:9] != [(dh >> 128) % FR_MOD, dh & ((1 << 128) - 1)]:
+            log.error("inner data_hash/chunk_info mismatch")
+            return False
         k = payload.protocol["domain"]["k"]
         srs = self._srs_for(k)
-        # verification needs the circuit shape; rebuild from a minimal block
-        # is witness-dependent, so the vk is reconstructed by the prover-side
-        # keygen cache in-process, or accepted via assets. Out-of-process
-        # verification consumes the vk assets dumped by keygen (assets_dir).
-        vk = _VK_REGISTRY.get(payload.vk_id)
+        # the inner circuit shape is witness-dependent, so the vk cannot be
+        # re-keygen'd here; it must come from the in-process registry or the
+        # serialized assets (vk_<id>.vkey). FAIL CLOSED when unavailable
+        # (round-1 ADVICE high finding: never accept an unverified SNARK).
+        vk = load_vk(payload.vk_id, self.assets_dir)
         if vk is None:
-            log.warning("inner vk %s not in registry; verifying binding only", payload.vk_id)
-            return True
+            log.error(
+                "inner vk %s unavailable (registry/assets_dir=%r); rejecting",
+                payload.vk_id, self.assets_dir,
+            )
+            return False
         ok = plonk_verify(srs, vk, [payload.instances], payload.proof)
         if not ok:
             log.error("inner SNARK verification failed")
@@ -228,7 +243,7 @@ class BatchProver:
     def __init__(self, params_map: dict[int, kzg.SRS], assets_dir: str = ""):
         self.params_map = params_map
         self.assets_dir = assets_dir
-        self._kg = _KeygenCache()
+        self._kg = _KeygenCache(assets_dir)
 
     @classmethod
     def from_params_and_assets(cls, params_map, assets_dir: str = "") -> "BatchProver":
@@ -378,7 +393,7 @@ class BatchVerifier:
     def __init__(self, params_map: dict[int, kzg.SRS], assets_dir: str = ""):
         self.params_map = params_map
         self.assets_dir = assets_dir
-        self._kg = _KeygenCache()
+        self._kg = _KeygenCache(assets_dir)
 
     @classmethod
     def from_params_and_assets(cls, params_map, assets_dir: str = "") -> "BatchVerifier":
@@ -386,12 +401,17 @@ class BatchVerifier:
 
     _srs_for = ChunkProver._srs_for
 
-    def _verify_layer(self, payload: ProofPayload, circuit, transcript_cls=None) -> bool:
+    def _verify_layer(self, payload: ProofPayload, circuit=None, transcript_cls=None) -> bool:
         from ..proof_system.transcript import PoseidonTranscript
 
         k = payload.protocol["domain"]["k"]
         srs = self._srs_for(k)
-        _pk, vk = self._kg.get(srs, k, circuit, f"verify_{payload.vk_id}")
+        vk = load_vk(payload.vk_id, self.assets_dir)
+        if vk is None and circuit is not None:
+            _pk, vk = self._kg.get(srs, k, circuit, f"verify_{payload.vk_id}")
+        if vk is None:
+            log.error("vk %s unavailable; rejecting (fail closed)", payload.vk_id)
+            return False
         if hex(vk.transcript_repr()) != payload.vk_id:
             log.error("vk mismatch")
             return False
@@ -409,6 +429,15 @@ class BatchVerifier:
             log.error("layer4 binding mismatch")
             return False
         if not self._verify_layer(l4, CompressionCircuit(l3.instances, l3.proof)):
+            return False
+        # INTERIM DEEPENING (round-1 ADVICE high finding, provers.py:403):
+        # until in-circuit KZG accumulation lands, the layer3 SNARK is also
+        # natively verified (vk from registry/assets; fail closed). NOTE:
+        # the chunk SNARKs aggregated under layer3 are still bound only by
+        # the sponge digest — the EVM-only check is NOT sound on its own;
+        # production soundness comes from the recursion milestone.
+        if not self._verify_layer(l3):
+            log.error("layer3 SNARK verification failed")
             return False
         header = proof.inner.batch_header
         if header is not None:
@@ -431,19 +460,57 @@ class BatchVerifier:
         if list(l6.instances) != want:
             log.error("layer6 binding mismatch")
             return False
-        return self._verify_layer(
+        if not self._verify_layer(
             l6, CompressionCircuit(l5.instances, l5.proof),
             transcript_cls=KeccakTranscript,
-        )
+        ):
+            return False
+        # interim deepening: also natively verify the layer5 recursion SNARK
+        # (see verify_batch_proof note)
+        if not self._verify_layer(l5):
+            log.error("layer5 SNARK verification failed")
+            return False
+        return True
 
 
 # in-process vk registry: keygen publishes vks here so verifiers can check
-# inner proofs without re-synthesizing the witness-dependent circuit shape
+# inner proofs without re-synthesizing the witness-dependent circuit shape.
+# With an assets_dir, vks are ALSO serialized to disk (reference parity:
+# vk_chunk_*.vkey dumped into the output/assets dir, SURVEY.md section 5
+# checkpoint/resume) so a fresh process can verify from disk alone.
 _VK_REGISTRY: dict[str, object] = {}
 
 
-def register_vk(vk) -> None:
-    _VK_REGISTRY[hex(vk.transcript_repr())] = vk
+def register_vk(vk, assets_dir: str = "") -> None:
+    vk_id = hex(vk.transcript_repr())
+    _VK_REGISTRY[vk_id] = vk
+    if assets_dir:
+        os.makedirs(assets_dir, exist_ok=True)
+        path = os.path.join(assets_dir, f"vk_{vk_id}.vkey")
+        if not os.path.exists(path):
+            with open(path, "wb") as fh:
+                fh.write(vk.to_bytes())
+
+
+def load_vk(vk_id: str, assets_dir: str = ""):
+    """Resolve a vk by transcript-repr id: in-process registry first, then
+    the assets dir. Returns None when unavailable (callers MUST fail closed —
+    ADVICE.md round-1 high finding on provers.py:215)."""
+    vk = _VK_REGISTRY.get(vk_id)
+    if vk is not None:
+        return vk
+    if assets_dir:
+        path = os.path.join(assets_dir, f"vk_{vk_id}.vkey")
+        if os.path.exists(path):
+            from ..proof_system.plonk.keygen import VerifyingKey
+
+            with open(path, "rb") as fh:
+                vk = VerifyingKey.from_bytes(fh.read())
+            if hex(vk.transcript_repr()) == vk_id:
+                _VK_REGISTRY[vk_id] = vk
+                return vk
+            log.error("vk file %s fails its self-digest", path)
+    return None
 
 
 def _downsized(srs: kzg.SRS, k: int) -> kzg.SRS:

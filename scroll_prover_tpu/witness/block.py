@@ -73,12 +73,22 @@ class WitnessBlock:
     def num_steps(self) -> int:
         return len(self.steps)
 
+    # 60-byte per-block context: number(8) || timestamp(8) || base_fee(32) ||
+    # gas_limit(8) || num_txs(2) || num_l1_msgs(2) — Scroll's chunk data-hash
+    # block-context layout (reference ChunkInfo semantics, SURVEY.md §2.3
+    # Data/DA; round-1 ADVICE medium finding on the 1 KiB truncation)
+    block_contexts: list[bytes] = field(default_factory=list)
+    tx_hashes: list[bytes] = field(default_factory=list)
+
     def data_hash_preimage(self) -> bytes:
-        """Chunk data-hash preimage (block numbers + tx hashes flattened)."""
+        """Chunk data-hash preimage: concat(block contexts) || concat(tx
+        hashes). Every transaction is bound through its hash (no
+        truncation), matching the reference's preimage layout."""
         out = bytearray()
-        for n in self.block_numbers:
-            out += n.to_bytes(8, "big")
-        out += self.tx_bytes[:1024]
+        for ctx in self.block_contexts:
+            out += ctx
+        for h in self.tx_hashes:
+            out += h
         return bytes(out)
 
     def data_hash(self) -> bytes:
@@ -106,12 +116,32 @@ def _absorb_block(wb: WitnessBlock, trace: BlockTrace) -> None:
     wb.total_gas += trace.gas_used
     tx_bytes = bytearray(wb.tx_bytes)
 
+    def _hx(key):
+        v = trace.header.get(key, "0x0")
+        return int(v, 16) if isinstance(v, str) else int(v or 0)
+
+    n_l1 = sum(1 for t in trace.transactions if t.is_l1_msg)
+    wb.block_contexts.append(
+        trace.number.to_bytes(8, "big")
+        + trace.timestamp.to_bytes(8, "big")
+        + (_hx("baseFeePerGas") % (1 << 256)).to_bytes(32, "big")
+        + (_hx("gasLimit") % (1 << 64)).to_bytes(8, "big")
+        + len(trace.transactions).to_bytes(2, "big")
+        + n_l1.to_bytes(2, "big")
+    )
+
     for ti, tx in enumerate(trace.transactions):
         wb.num_txs += 1
         if tx.is_l1_msg:
             wb.num_l1_msgs += 1
         else:
             wb.sig_count += 1  # ECDSA recovery per L2 tx
+        th = tx.tx_hash
+        if th and th.startswith("0x") and len(th) == 66:
+            wb.tx_hashes.append(bytes.fromhex(th[2:]))
+        else:
+            # traces without txHash: bind the tx content directly
+            wb.tx_hashes.append(keccak256(tx.call_data))
         data = tx.call_data
         wb.tx_data_lens.append(len(data))
         tx_bytes += data
