@@ -100,6 +100,45 @@ def add(p: PointP, q: PointP) -> PointP:
 
 
 @jax.jit
+def madd(p: PointP, qx: jnp.ndarray, qy: jnp.ndarray) -> PointP:
+    """Mixed addition p + (qx, qy, 1) (RCB15 alg. 8, a=0, b3=9): 11 muls vs
+    12 for the full add. Complete in p (identity-safe); q must be a real
+    affine point (the MSM bucket kernel only feeds SRS points here)."""
+    mul = partial(fo.mont_mul, F)
+    add_ = partial(fo.add_mod, F)
+    sub = partial(fo.sub_mod, F)
+    b3 = jnp.broadcast_to(jnp.asarray(_B3_MONT, dtype=jnp.uint32), p.x.shape)
+
+    t0 = mul(p.x, qx)
+    t1 = mul(p.y, qy)
+    t3 = add_(qx, qy)
+    t4 = add_(p.x, p.y)
+    t3 = mul(t3, t4)
+    t4 = add_(t0, t1)
+    t3 = sub(t3, t4)
+    t4 = mul(qy, p.z)
+    t4 = add_(t4, p.y)
+    y3 = mul(qx, p.z)
+    y3 = add_(y3, p.x)
+    x3 = add_(t0, t0)
+    t0 = add_(x3, t0)
+    t2 = mul(b3, p.z)
+    z3 = add_(t1, t2)
+    t1 = sub(t1, t2)
+    y3 = mul(b3, y3)
+    x3 = mul(t4, y3)
+    t2 = mul(t3, t1)
+    x3 = sub(t2, x3)
+    y3 = mul(y3, t0)
+    t1 = mul(t1, z3)
+    y3 = add_(t1, y3)
+    t0 = mul(t0, t3)
+    z3 = mul(z3, t4)
+    z3 = add_(z3, t0)
+    return PointP(x3, y3, z3)
+
+
+@jax.jit
 def double(p: PointP) -> PointP:
     """Complete projective doubling (RCB15 alg. 9, a=0, b3=9)."""
     mul = partial(fo.mont_mul, F)

@@ -44,27 +44,38 @@ def zeros_like_limbs(shape) -> jnp.ndarray:
 
 
 def _add_raw(a, b):
-    """Limbwise add with carry propagation. Returns (sum_limbs, carry_out)."""
-    out = []
-    c = jnp.zeros(a.shape[:-1], dtype=U32)
-    for j in range(N_LIMBS):
-        s = a[..., j] + b[..., j] + c  # <= 2*(2^16-1)+1 < 2^32
-        out.append(s & _MASK)
-        c = s >> _SHIFT
-    return jnp.stack(out, axis=-1), c
+    """Limbwise add with carry propagation. Returns (sum_limbs, carry_out).
+
+    lax.scan over the limb axis: ONE traced body instead of 16 unrolled
+    slice/stack steps — XLA CPU compile time of composed field ops was
+    dominated by the unrolled chains (measured 27s -> 6s for a 12-mul
+    2-add graph), with identical runtime."""
+    am = jnp.moveaxis(a, -1, 0)
+    bm = jnp.moveaxis(b, -1, 0)
+
+    def body(c, ab):
+        aj, bj = ab
+        s = aj + bj + c  # <= 2*(2^16-1)+1 < 2^32
+        return s >> _SHIFT, s & _MASK
+
+    c, out = jax.lax.scan(body, jnp.zeros(a.shape[:-1], dtype=U32), (am, bm))
+    return jnp.moveaxis(out, 0, -1), c
 
 
 def _sub_raw(a, b):
     """Limbwise a - b with borrow. Returns (diff_limbs, borrow_out in {0,1})."""
-    out = []
-    brw = jnp.zeros(a.shape[:-1], dtype=U32)
-    for j in range(N_LIMBS):
-        # compute in uint32 with wraparound; top bit set iff the true
-        # difference was negative (operands < 2^16, borrow in {0,1})
-        d = a[..., j] - b[..., j] - brw
-        brw = d >> 31
-        out.append(d & _MASK)
-    return jnp.stack(out, axis=-1), brw
+    am = jnp.moveaxis(a, -1, 0)
+    bm = jnp.moveaxis(b, -1, 0)
+
+    def body(brw, ab):
+        aj, bj = ab
+        # uint32 wraparound; top bit set iff the true difference was
+        # negative (operands < 2^16, borrow in {0,1})
+        d = aj - bj - brw
+        return d >> 31, d & _MASK
+
+    brw, out = jax.lax.scan(body, jnp.zeros(a.shape[:-1], dtype=U32), (am, bm))
+    return jnp.moveaxis(out, 0, -1), brw
 
 
 def _p_const(f: LimbField) -> jnp.ndarray:
@@ -183,14 +194,17 @@ def mont_mul(f: LimbField, a, b):
     # result = lazy limbs L..2L-1 plus the running carry at position L
     res = t[..., L:]
     res = res.at[..., 0].add(c[..., 0])
-    # full carry propagation (unrolled small chain)
-    out = []
-    cc = jnp.zeros(a.shape[:-1], dtype=U32)
-    for j in range(L):
-        s = res[..., j] + cc
-        out.append(s & _MASK)
-        cc = s >> _SHIFT
-    res = jnp.stack(out, axis=-1)
+    # full carry propagation (scan — see _add_raw note)
+    resm = jnp.moveaxis(res, -1, 0)
+
+    def carry_body(cc, rj):
+        s = rj + cc
+        return s >> _SHIFT, s & _MASK
+
+    cc, out = jax.lax.scan(
+        carry_body, jnp.zeros(a.shape[:-1], dtype=U32), resm
+    )
+    res = jnp.moveaxis(out, 0, -1)
     return _cond_sub_p(f, res, cc)
 
 

@@ -31,6 +31,7 @@ import numpy as np
 
 from ..fields.limbs import LIMB_BITS, N_LIMBS
 from . import ec
+from . import field_ops as fo
 
 C = 8  # window bits; 256/C windows, 2^C buckets
 N_WINDOWS = 256 // C
@@ -122,9 +123,8 @@ def _bucket_window(points: ec.PointP, digits: jnp.ndarray) -> ec.PointP:
 
 
 @jax.jit
-def msm(points_affine_mont: jnp.ndarray, scalar_limbs: jnp.ndarray) -> ec.PointP:
-    """points: (n, 2, N_LIMBS) Montgomery affine; scalars: (n, N_LIMBS)
-    standard-form limbs. Returns one projective point."""
+def msm_scan(points_affine_mont: jnp.ndarray, scalar_limbs: jnp.ndarray) -> ec.PointP:
+    """Legacy O(n log n) segmented-scan MSM (kept for cross-validation)."""
     pts = ec.from_affine(points_affine_mont)
     digs = _digits(scalar_limbs)
 
@@ -141,6 +141,142 @@ def msm(points_affine_mont: jnp.ndarray, scalar_limbs: jnp.ndarray) -> ec.PointP
 
     acc, _ = jax.lax.scan(body, ec.identity(), digs[::-1])
     return acc
+
+
+# --- O(n) bucket-matrix Pippenger ---------------------------------------------
+#
+# Design (replaces the O(n log n) segmented scan; VERDICT round-1 item 3):
+#   * signed digits: window digits are recoded into [-2^(C-1), 2^(C-1)] with a
+#     carry chain, so each window needs only 2^(C-1)+1 buckets (negative
+#     digits add the NEGATED point). BN254 scalars < 2^254 leave the top
+#     window carry-free.
+#   * scatter accumulation: each (window w, lane l) owns a private bucket row
+#     T[w, l, :]. The points are striped over V lanes; a lax.scan of n/V
+#     steps does ONE mixed add per (w, l) per step and writes it back with a
+#     collision-free scatter (every lane writes its own row). Total work:
+#     n mixed adds per window — O(n), fully vectorized over W*V lanes.
+#   * lane reduction: log2(V) halving rounds of complete adds -> (W, B)
+#     bucket sums; weighted sum via two Hillis-Steele scans over B; windows
+#     fold MSB->LSB with C doublings per step.
+#
+# Digit-0 contributions land in bucket 0, which the weighted sum discards —
+# zero scalars and padding are free, no masking in the hot loop.
+
+SIGNED_B = (1 << (C - 1)) + 1  # buckets 0..128; bucket 0 discarded
+MSM_LANES = 128  # V: lanes per window (table = W * V * SIGNED_B points)
+
+
+def _signed_digits(scalar_limbs: jnp.ndarray):
+    """(n, L) standard limbs -> digits (W, n) uint32 in [0, 2^(C-1)] and
+    signs (W, n) bool; scalar = sum_w (-1)^sign_w * digit_w * 2^(C*w)."""
+    digs = _digits(scalar_limbs)  # (W, n) in [0, 256)
+    half = jnp.uint32(1 << (C - 1))
+    full = jnp.uint32(1 << C)
+
+    def body(carry, d):
+        e = d + carry
+        # e in [0, 256]; e > 128 -> use e - 256 (negative), carry 1
+        neg = e > half
+        out = jnp.where(neg, full - e, e)
+        return neg.astype(jnp.uint32), (out, neg)
+
+    carry0 = jnp.zeros(digs.shape[1], jnp.uint32)
+    carry, (out, signs) = jax.lax.scan(body, carry0, digs)
+    # top carry is provably 0 for scalars < 2^254 (BN254 Fr)
+    return out, signs
+
+
+@jax.jit
+def msm(points_affine_mont: jnp.ndarray, scalar_limbs: jnp.ndarray) -> ec.PointP:
+    """points: (n, 2, N_LIMBS) Montgomery affine; scalars: (n, N_LIMBS)
+    standard-form limbs. Returns one projective point. O(n) point adds."""
+    n = points_affine_mont.shape[0]
+    V = min(MSM_LANES, n)
+    steps = n // V
+    digs, signs = _signed_digits(scalar_limbs)  # (W, n)
+
+    px = points_affine_mont[:, 0, :].reshape(steps, V, N_LIMBS)
+    py = points_affine_mont[:, 1, :].reshape(steps, V, N_LIMBS)
+    d_s = digs.reshape(N_WINDOWS, steps, V).transpose(1, 0, 2)  # (steps, W, V)
+    s_s = signs.reshape(N_WINDOWS, steps, V).transpose(1, 0, 2)
+
+    tbl = ec.identity((N_WINDOWS, V, SIGNED_B))
+    w_idx = jnp.arange(N_WINDOWS, dtype=jnp.int32)[:, None]
+    l_idx = jnp.arange(V, dtype=jnp.int32)[None, :]
+
+    def body(t, inp):
+        qx, qy, d, s = inp  # (V, L), (V, L), (W, V), (W, V)
+        qx = jnp.broadcast_to(qx[None], (N_WINDOWS, V, N_LIMBS))
+        qy = jnp.broadcast_to(qy[None], (N_WINDOWS, V, N_LIMBS))
+        qy = fo.select(s, fo.neg_mod(ec.F, qy), qy)
+        d = d.astype(jnp.int32)
+        cur = ec.PointP(
+            jnp.take_along_axis(t.x, d[..., None, None], axis=2)[:, :, 0],
+            jnp.take_along_axis(t.y, d[..., None, None], axis=2)[:, :, 0],
+            jnp.take_along_axis(t.z, d[..., None, None], axis=2)[:, :, 0],
+        )
+        new = ec.madd(cur, qx, qy)
+        t = ec.PointP(
+            t.x.at[w_idx, l_idx, d].set(new.x),
+            t.y.at[w_idx, l_idx, d].set(new.y),
+            t.z.at[w_idx, l_idx, d].set(new.z),
+        )
+        return t, None
+
+    tbl, _ = jax.lax.scan(body, tbl, (px, py, d_s, s_s))
+
+    # lane reduction: (W, V, B) -> (W, B)
+    def halve(t):
+        h = t.x.shape[1] // 2
+        lo = ec.PointP(t.x[:, :h], t.y[:, :h], t.z[:, :h])
+        hi = ec.PointP(t.x[:, h:], t.y[:, h:], t.z[:, h:])
+        return ec.add(lo, hi)
+
+    while tbl.x.shape[1] > 1:
+        tbl = halve(tbl)
+    buckets = ec.PointP(tbl.x[:, 0], tbl.y[:, 0], tbl.z[:, 0])  # (W, B)
+
+    # weighted sum per window: sum_{b>=1} b * B_b = sum of suffix sums
+    bsum = ec.PointP(buckets.x[:, 1:], buckets.y[:, 1:], buckets.z[:, 1:])
+    suffix = _hs_scan_points(bsum, reverse=True)
+    total = _hs_scan_points(suffix)
+    win = ec.PointP(total.x[:, -1], total.y[:, -1], total.z[:, -1])  # (W,)
+
+    # fold windows MSB -> LSB with C doublings per step
+    def dbl_body(_, p):
+        return ec.double(p)
+
+    def fold(acc, i):
+        acc = jax.lax.fori_loop(0, C, dbl_body, acc)
+        s = ec.PointP(win.x[i], win.y[i], win.z[i])
+        one = ec.PointP(s.x[None], s.y[None], s.z[None])
+        accb = ec.PointP(acc.x[None], acc.y[None], acc.z[None])
+        out = ec.add(accb, one)
+        return ec.PointP(out.x[0], out.y[0], out.z[0]), None
+
+    acc, _ = jax.lax.scan(fold, ec.identity(), jnp.arange(N_WINDOWS - 1, -1, -1))
+    return acc
+
+
+def _hs_scan_points(pts: ec.PointP, reverse: bool = False) -> ec.PointP:
+    """Inclusive Hillis-Steele prefix scan of point addition along axis 1
+    (batched over axis 0). Small inputs only (the B-bucket weighted sum)."""
+    if reverse:
+        rev = ec.PointP(*(a[:, ::-1] for a in pts))
+        out = _hs_scan_points(rev)
+        return ec.PointP(*(a[:, ::-1] for a in out))
+    n = pts.x.shape[1]
+    steps = max((n - 1).bit_length(), 1)
+    pos = jnp.arange(n, dtype=jnp.uint32)[None, :]
+
+    def body(k, v):
+        s = jnp.uint32(1) << k
+        vs = ec.PointP(*(jnp.roll(a, s, axis=1) for a in v))
+        merged = ec.add(v, vs)
+        keep = jnp.broadcast_to(pos >= s, v.x.shape[:2])
+        return ec.select_point(keep, merged, v)
+
+    return jax.lax.fori_loop(0, steps, body, pts)
 
 
 MIN_PAD = 64  # canonical minimum size: all small MSMs share one compiled graph

@@ -1,7 +1,7 @@
 """PLONKish prover (device NTT/MSM/scans + host orchestration).
 
 Protocol (halo2-shaped; verifier.py mirrors it exactly):
-  1. absorb vk digest + instance values; commit advice columns
+  1. absorb vk digest + declared instance values; commit advice columns
   2. theta; per lookup commit permuted (A', S')
   3. beta, gamma; commit permutation grand-product chunks Z_a and lookup Zs
   4. commit random poly; y; build quotient h on the extended coset domain,
@@ -11,7 +11,9 @@ Protocol (halo2-shaped; verifier.py mirrors it exactly):
 
 Replaces halo2 create_proof as consumed by the reference
 (SURVEY.md section 3.1: "halo2 create_proof @ degree 20 -> hot loops: MSM,
-NTT/coset-FFT, quotient poly, permutation/lookup grand products").
+NTT/coset-FFT, quotient poly, permutation/lookup grand products"). All
+per-row work (lookup compression, grand products, batched inversion) runs
+on device as (n, 16)-limb vector ops — no Python inner loops over rows.
 """
 from __future__ import annotations
 
@@ -24,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...fields.bn254 import FR_MOD
-from ...fields.limbs import FR_LIMB
+from ...fields.limbs import FR_LIMB, ints_to_limbs, limbs_to_ints
 from ...ops import field_ops as fo
 from ...ops import poly as poly_ops
 from ..kzg import SRS, kzg_commit
@@ -37,12 +39,30 @@ F = FR_LIMB
 log = logging.getLogger(__name__)
 
 
-def _mont(vals) -> jnp.ndarray:
-    return jnp.asarray(F.encode([int(v) for v in vals], mont=True))
+def _encode_mont(vals) -> jnp.ndarray:
+    """Host ints -> (n, L) Montgomery limbs. The bytes-based standard-form
+    encode is the only per-element host work; the Montgomery conversion is
+    one device mont_mul."""
+    arr = ints_to_limbs([int(v) % FR_MOD for v in vals])
+    return fo.to_mont(F, jnp.asarray(arr))
+
+
+# kept under the old name for callers (keygen-independent helpers)
+_mont = _encode_mont
 
 
 def _mont_scalar(v: int) -> jnp.ndarray:
-    return jnp.asarray(F.encode([int(v)])[0])
+    return jnp.asarray(ints_to_limbs([int(v) % FR_MOD * (1 << 256) % FR_MOD])[0])
+
+
+def _bcast(s: jnp.ndarray, n: int) -> jnp.ndarray:
+    return jnp.broadcast_to(s[None, :], (n, s.shape[-1]))
+
+
+def _decode_mont(arr, count: int | None = None) -> list[int]:
+    """(n, L) Montgomery device array -> host ints (standard form)."""
+    std = fo.from_mont(F, arr if count is None else arr[:count])
+    return limbs_to_ints(np.asarray(std))
 
 
 def _blind(seed: bytes, tag: str, count: int) -> list[int]:
@@ -77,6 +97,19 @@ class _Queries:
 
 def _perm_chunks(cs: ConstraintSystem) -> int:
     return max(1, cs.max_gate_degree() - 2)
+
+
+def absorb_instances(tr, vk, instance) -> None:
+    """Shared prover/verifier transcript preamble: vk digest, then per
+    instance column its declared length and values. Only DECLARED rows are
+    absorbed (not the full domain) so an in-circuit verifier's transcript
+    cost is O(proof size), not O(n) — the halo2/snark-verifier convention."""
+    tr.common_scalar(vk.transcript_repr())
+    for col in range(vk.cs.num_instance):
+        src = instance[col] if instance and col < len(instance) else []
+        tr.common_scalar(len(src))
+        for v in src:
+            tr.common_scalar(int(v) % FR_MOD)
 
 
 def prove(
@@ -115,13 +148,34 @@ def prove(
         col[usable:] = bl
 
     tr = transcript_cls()
-    tr.common_scalar(vk.transcript_repr())
-    for col in range(cs.num_instance):
-        for row in range(usable):
-            tr.common_scalar(int(inst[col][row]))
+    absorb_instances(tr, vk, instance)
+
+    # --- device value tables (base domain, Montgomery form) ---------------
+    advice_dev = [_encode_mont(col) for col in advice_vals]
+    fixed_dev = _fixed_dev(pk, n)
+    inst_dev = [_encode_mont([int(v) for v in inst[i]]) for i in range(cs.num_instance)]
+    vals_dev = {"advice": advice_dev, "fixed": fixed_dev, "instance": inst_dev}
+    ones_n = fo.one_mont(F, (n,))
+
+    def eval_expr_dev(expr, theta: int):
+        """Evaluate an expression over full columns on device -> (n, L)."""
+        theta_b = _bcast(_mont_scalar(theta), n)
+
+        def q(kind, col, rot):
+            arr = vals_dev[kind][col]
+            return jnp.roll(arr, -rot, axis=0) if rot else arr
+
+        return expr.evaluate(
+            constant=lambda c: _bcast(_mont_scalar(c), n),
+            query=q,
+            challenge=lambda i: theta_b,
+            add=lambda a, b: fo.add_mod(F, a, b),
+            mul=lambda a, b: fo.mont_mul(F, a, b),
+            neg=lambda a: fo.neg_mod(F, a),
+        )
 
     # --- phase 1: advice commitments -------------------------------------
-    advice_polys = [dom.intt(_mont(col)) for col in advice_vals]
+    advice_polys = [dom.intt(a) for a in advice_dev]
     for p in advice_polys:
         tr.write_point(kzg_commit(srs, p))
 
@@ -129,47 +183,37 @@ def prove(
     theta = tr.squeeze_challenge()
 
     # --- phase 2: lookups -------------------------------------------------
-    def eval_expr_host(expr, row):
-        def q(kind, col, rot):
-            r = (row + rot) % n
-            if kind == "fixed":
-                return int(pk.fixed_values[col][r])
-            if kind == "advice":
-                return advice_vals[col][r]
-            return int(inst[col][r])
-
-        return expr.evaluate(
-            constant=lambda c: c % FR_MOD,
-            query=q,
-            challenge=lambda i: theta,  # only theta-type challenges pre-beta
-            add=lambda a, b: (a + b) % FR_MOD,
-            mul=lambda a, b: (a * b) % FR_MOD,
-            neg=lambda a: (-a) % FR_MOD,
-        )
-
     lookups = []
     for lk in cs.lookups:
-        a_vals = [0] * n
-        s_vals = [0] * n
-        for row in range(usable):
-            acc = 0
-            for e in lk.inputs:
-                acc = (acc * theta + eval_expr_host(e, row)) % FR_MOD
-            a_vals[row] = acc
-            acc = 0
-            for e in lk.tables:
-                acc = (acc * theta + eval_expr_host(e, row)) % FR_MOD
-            s_vals[row] = acc
+        # compressed input/table columns: theta-Horner over expressions,
+        # fully on device
+        def compress_dev(exprs):
+            acc = None
+            theta_b = _bcast(_mont_scalar(theta), n)
+            for e in exprs:
+                v = eval_expr_dev(e, theta)
+                acc = v if acc is None else fo.add_mod(
+                    F, fo.mont_mul(F, acc, theta_b), v
+                )
+            return acc
+
+        a_dev = compress_dev(lk.inputs)
+        s_dev = compress_dev(lk.tables)
+        a_vals = _decode_mont(a_dev, usable) + [0] * (n - usable)
+        s_vals = _decode_mont(s_dev, usable) + [0] * (n - usable)
         # the grand product (and hence multiset equality) covers rows 0..u-1
         a_perm, s_perm = _permute_lookup(a_vals[:u], s_vals[:u])
         a_perm = a_perm + _blind(seed, f"lkA{len(lookups)}", n - u)
         s_perm = s_perm + _blind(seed, f"lkS{len(lookups)}", n - u)
         lookups.append(
-            {"a": a_vals, "s": s_vals, "a_perm": a_perm, "s_perm": s_perm}
+            {"a": a_vals, "s": s_vals, "a_perm": a_perm, "s_perm": s_perm,
+             "a_dev": a_dev, "s_dev": s_dev}
         )
     for i, lk in enumerate(lookups):
-        lk["a_poly"] = dom.intt(_mont(lk["a_perm"]))
-        lk["s_poly"] = dom.intt(_mont(lk["s_perm"]))
+        lk["a_perm_dev"] = _encode_mont(lk["a_perm"])
+        lk["s_perm_dev"] = _encode_mont(lk["s_perm"])
+        lk["a_poly"] = dom.intt(lk["a_perm_dev"])
+        lk["s_poly"] = dom.intt(lk["s_perm_dev"])
         tr.write_point(kzg_commit(srs, lk["a_poly"]))
         tr.write_point(kzg_commit(srs, lk["s_poly"]))
 
@@ -177,73 +221,87 @@ def prove(
     beta = tr.squeeze_challenge()
     gamma = tr.squeeze_challenge()
 
-    # --- phase 3: grand products -----------------------------------------
-    def col_value(cref, row):
-        if cref.kind == "fixed":
-            return int(pk.fixed_values[cref.index][row])
-        if cref.kind == "advice":
-            return advice_vals[cref.index][row]
-        return int(inst[cref.index][row])
+    # --- phase 3: grand products (device scans + batched inversion) -------
+    beta_b = _bcast(_mont_scalar(beta), n)
+    gamma_b = _bcast(_mont_scalar(gamma), n)
+    om_pows_dev = poly_ops.powers_mont(F, _mont_scalar(omega), n)
+    row_idx = jnp.arange(n)
+
+    def grand_product(num_dev, den_dev, z0_dev):
+        """z[0] = z0; z[i+1] = z[i] * num[i]/den[i] for i < u; rows > u are
+        z[u] (overwritten by blinding later). Returns (z_dev, z_u_dev)."""
+        ratio = fo.mont_mul(F, num_dev, fo.batch_inv_mont(F, den_dev))
+        ratio = fo.select(row_idx < u, ratio, ones_n)
+        pp = poly_ops.prefix_prod_mont(F, ratio)
+        shifted = jnp.concatenate([ones_n[:1], pp[:-1]])
+        z = fo.mont_mul(F, _bcast(z0_dev, n), shifted)
+        z_u = fo.mont_mul(F, z0_dev, pp[u - 1]) if u > 0 else z0_dev
+        return z, z_u
+
+    def with_blinding(z_dev, tag: str):
+        bl = _encode_mont(_blind(seed, tag, n - u - 1))
+        return z_dev.at[u + 1 :].set(bl)
 
     chunk_len = _perm_chunks(cs)
     m = len(cs.perm_columns)
     chunks = [
         list(range(a, min(a + chunk_len, m))) for a in range(0, m, chunk_len)
     ]
-    om_pows = [1] * n
-    for i in range(1, n):
-        om_pows[i] = om_pows[i - 1] * omega % FR_MOD
+    sigma_dev = _sigma_dev(pk, n)
 
-    perm_z_vals = []
-    last_z = 1
+    perm_z_devs = []
+    last_z = fo.one_mont(F)
     for chunk in chunks:
-        zv = [0] * n
-        zv[0] = last_z
-        for row in range(u):
-            num = den = 1
-            for jj in chunk:
-                cref = cs.perm_columns[jj]
-                v = col_value(cref, row)
-                num = num * ((v + beta * pow(DELTA, jj, FR_MOD) * om_pows[row] + gamma) % FR_MOD) % FR_MOD
-                den = den * ((v + beta * pk.sigma_values[jj][row] + gamma) % FR_MOD) % FR_MOD
-            zv[row + 1] = zv[row] * num % FR_MOD * pow(den, -1, FR_MOD) % FR_MOD
-        last_z = zv[u]
-        bl = _blind(seed, f"permz{len(perm_z_vals)}", n - u - 1)
-        zv[u + 1 :] = bl
-        perm_z_vals.append(zv)
-    if _debug is not None:
-        _debug["perm_z_vals"] = perm_z_vals
-        _debug["chunks"] = chunks
-        _debug["advice_vals"] = advice_vals
-        _debug["inst"] = inst
-    perm_z_polys = [dom.intt(_mont(zv)) for zv in perm_z_vals]
+        num = ones_n
+        den = ones_n
+        for jj in chunk:
+            cref = cs.perm_columns[jj]
+            v = vals_dev[cref.kind][cref.index]
+            dj = _bcast(_mont_scalar(beta * pow(DELTA, jj, FR_MOD) % FR_MOD), n)
+            num = fo.mont_mul(
+                F, num,
+                fo.add_mod(F, fo.add_mod(F, v, fo.mont_mul(F, dj, om_pows_dev)), gamma_b),
+            )
+            den = fo.mont_mul(
+                F, den,
+                fo.add_mod(
+                    F, fo.add_mod(F, v, fo.mont_mul(F, beta_b, sigma_dev[jj])), gamma_b
+                ),
+            )
+        z, last_z = grand_product(num, den, last_z)
+        perm_z_devs.append(with_blinding(z, f"permz{len(perm_z_devs)}"))
+
+    perm_z_polys = [dom.intt(z) for z in perm_z_devs]
     for p in perm_z_polys:
         tr.write_point(kzg_commit(srs, p))
 
     lookup_z_polys = []
+    one_sc = fo.one_mont(F)
     for li, lk in enumerate(lookups):
-        zv = [0] * n
-        zv[0] = 1
-        for row in range(u):
-            num = (lk["a"][row] + beta) * (lk["s"][row] + gamma) % FR_MOD
-            den = (lk["a_perm"][row] + beta) * (lk["s_perm"][row] + gamma) % FR_MOD
-            zv[row + 1] = zv[row] * num % FR_MOD * pow(den, -1, FR_MOD) % FR_MOD
-        zv[u + 1 :] = _blind(seed, f"lkz{li}", n - u - 1)
-        lk["z_vals"] = zv
-        zp = dom.intt(_mont(zv))
+        num = fo.mont_mul(
+            F, fo.add_mod(F, lk["a_dev"], beta_b), fo.add_mod(F, lk["s_dev"], gamma_b)
+        )
+        den = fo.mont_mul(
+            F,
+            fo.add_mod(F, lk["a_perm_dev"], beta_b),
+            fo.add_mod(F, lk["s_perm_dev"], gamma_b),
+        )
+        z, _ = grand_product(num, den, one_sc)
+        z = with_blinding(z, f"lkz{li}")
+        zp = dom.intt(z)
         lookup_z_polys.append(zp)
         tr.write_point(kzg_commit(srs, zp))
 
     # --- phase 4: vanishing / quotient ------------------------------------
     _mark("grand products committed")
-    random_poly = _mont(_blind(seed, "rand", n))
-    random_poly = dom.intt(random_poly)
+    random_poly = dom.intt(_encode_mont(_blind(seed, "rand", n)))
     tr.write_point(kzg_commit(srs, random_poly))
     y = tr.squeeze_challenge()
 
+    instance_polys = [dom.intt(a) for a in inst_dev]
     h_chunk_polys = _build_quotient(
         pk, dom, cs, advice_polys, [p for p in pk.fixed_polys],
-        [dom.intt(_mont([int(v) for v in inst[i]])) for i in range(cs.num_instance)],
+        instance_polys,
         pk.sigma_polys, perm_z_polys, lookups, lookup_z_polys,
         chunks, theta, beta, gamma, y, u, _debug=_debug,
     )
@@ -256,9 +314,6 @@ def prove(
 
     # --- phase 5: evaluations --------------------------------------------
     qs = _Queries.from_cs(cs)
-    instance_polys = [
-        dom.intt(_mont([int(v) for v in inst[i]])) for i in range(cs.num_instance)
-    ]
 
     def ev(polyc, point: int) -> int:
         r = poly_ops.eval_poly_mont(F, polyc, _mont_scalar(point))
@@ -268,8 +323,7 @@ def prove(
     xwi = x * pow(omega, -1, FR_MOD) % FR_MOD
     xu = x * pow(omega, u, FR_MOD) % FR_MOD
 
-    evals: list[int] = []
-    queries: list[tuple] = []  # (poly, commitment-side tag, point, value)
+    queries: list[tuple] = []  # (poly, point, value)
 
     def emit(polyc, point, write=True):
         v = ev(polyc, point)
@@ -332,6 +386,25 @@ def prove(
 
     _mark("multiopen done")
     return tr.finalize()
+
+
+# --- per-pk device caches (encode fixed/sigma value tables once) -------------
+
+
+def _fixed_dev(pk: ProvingKey, n: int):
+    cache = getattr(pk, "_fixed_dev", None)
+    if cache is None:
+        cache = [_encode_mont([int(v) for v in col]) for col in pk.fixed_values]
+        pk._fixed_dev = cache
+    return cache
+
+
+def _sigma_dev(pk: ProvingKey, n: int):
+    cache = getattr(pk, "_sigma_dev", None)
+    if cache is None:
+        cache = [_encode_mont(col) for col in pk.sigma_values]
+        pk._sigma_dev = cache
+    return cache
 
 
 def _combine(group, v_ch):
@@ -413,9 +486,7 @@ def _build_quotient(
     zero = jnp.zeros((ext_n, 16), jnp.uint32)
 
     def const(c):
-        return fo.mont_mul(
-            F, jnp.broadcast_to(_mont_scalar(c)[None, :], one.shape), one
-        )
+        return _bcast(_mont_scalar(c), ext_n)
 
     terms = []
     for _, expr in cs.gates:
@@ -433,19 +504,16 @@ def _build_quotient(
     # lagrange indicators on extended domain
     l0_e = ext(pk.l0, "l0")
     llast_e = ext(pk.l_last, "l_last")
-    lact_vals = [0] * n
-    for i in range(u):
-        lact_vals[i] = 1
-    lact_poly = dom.intt(_mont(lact_vals))
+    lact_vals = [1] * u + [0] * (n - u)
+    lact_poly = dom.intt(_encode_mont(lact_vals))
     lact_e = ext(lact_poly, "l_active")
 
-    # X values on the extended coset (incremental product)
-    xs = [0] * ext_n
-    acc_x = dom.g_coset % FR_MOD
-    for i in range(ext_n):
-        xs[i] = acc_x
-        acc_x = acc_x * dom.extended_omega % FR_MOD
-    x_e = _mont(xs)
+    # X values on the extended coset: g_coset * extended_omega^i (device)
+    x_e = fo.mont_mul(
+        F,
+        poly_ops.powers_mont(F, _mont_scalar(dom.extended_omega), ext_n),
+        _bcast(_mont_scalar(dom.g_coset), ext_n),
+    )
 
     mm = lambda a, b: fo.mont_mul(F, a, b)
     ad = lambda a, b: fo.add_mod(F, a, b)
@@ -528,7 +596,7 @@ def _build_quotient(
         vshort.append(pow((a0 - 1) % FR_MOD, -1, FR_MOD))
         a0 = a0 * wn % FR_MOD
     vinv = vshort * (ext_n // ratio)
-    acc = mm(acc, _mont(vinv))
+    acc = mm(acc, _encode_mont(vinv))
 
     h_coeffs = dom.intt_extended(acc)
     # split into chunks of n

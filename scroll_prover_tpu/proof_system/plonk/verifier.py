@@ -13,7 +13,7 @@ from ..kzg import SRS
 from ..transcript import PoseidonTranscript
 from .cs import ConstraintSystem
 from .keygen import DELTA, VerifyingKey
-from .prover import _Queries, _perm_chunks, _rot_point
+from .prover import _Queries, _perm_chunks, _rot_point, absorb_instances
 
 
 def verify(
@@ -34,17 +34,11 @@ def verify(
 
     inst_cols = []
     for col in range(cs.num_instance):
-        vals = [0] * n
         src = instance[col] if instance and col < len(instance) else []
-        for i, v in enumerate(src):
-            vals[i] = int(v) % FR_MOD
-        inst_cols.append(vals)
+        inst_cols.append([int(v) % FR_MOD for v in src])
 
     tr = transcript_cls(proof)
-    tr.common_scalar(vk.transcript_repr())
-    for col in range(cs.num_instance):
-        for row in range(usable):
-            tr.common_scalar(inst_cols[col][row])
+    absorb_instances(tr, vk, instance)
 
     advice_coms = [tr.read_point() for _ in range(cs.num_advice)]
     theta = tr.squeeze_challenge()
@@ -110,26 +104,33 @@ def verify(
     queries.append((random_com, x, random_eval))
 
     # --- instance + lagrange helpers -------------------------------------
-    om_pows = [1] * n
-    for i in range(1, n):
-        om_pows[i] = om_pows[i - 1] * omega % FR_MOD
     xn = pow(x, n, FR_MOD)
     vanish_x = (xn - 1) % FR_MOD
-    ninv = pow(n, -1, FR_MOD)
+
+    _om_cache: dict[int, int] = {}
+
+    def _om(i: int) -> int:
+        v = _om_cache.get(i)
+        if v is None:
+            v = pow(omega, i, FR_MOD)
+            _om_cache[i] = v
+        return v
 
     def lagrange_at(i: int, z: int) -> int:
         zi = pow(z, n, FR_MOD)
-        num = om_pows[i] * ((zi - 1) % FR_MOD) % FR_MOD
-        den = n * ((z - om_pows[i]) % FR_MOD) % FR_MOD
+        wi = _om(i)
+        num = wi * ((zi - 1) % FR_MOD) % FR_MOD
+        den = n * ((z - wi) % FR_MOD) % FR_MOD
         return num * pow(den, -1, FR_MOD) % FR_MOD
 
     def inst_eval(col: int, rot: int) -> int:
+        # instance polys are zero beyond the declared values, so the
+        # barycentric sum only ranges over them (O(#instances), not O(n))
         z = _rot_point(x, omega, rot)
         acc = 0
-        vals = inst_cols[col]
-        for i in range(n):
-            if vals[i]:
-                acc = (acc + vals[i] * lagrange_at(i, z)) % FR_MOD
+        for i, v in enumerate(inst_cols[col]):
+            if v:
+                acc = (acc + v * lagrange_at(i, z)) % FR_MOD
         return acc
 
     def qv(kind, col, rot):
