@@ -8,11 +8,12 @@ Measurement notes (learned on the axon-tunneled backend):
   * Full-array readback rides a ~14 MB/s tunnel; never read back 64 MB.
 
 Headline: 2^20 Fr NTT wall-clock (the inner-circuit domain size, reference
-README.md:21 / BASELINE.md). Implementation: the limb-major Pallas
-butterfly path (ops/ntt_fast.py; 140 ms measured on TPU v5 lite) with the
-scan engine (ops/ntt.py; 424 ms) as fallback. The reference publishes no
-numbers; vs_baseline uses a ~0.35 s estimate for the rayon radix-2 FFT at
-2^20 on a server CPU (halo2 fork, SURVEY.md L1). >1 means faster.
+README.md:21 / BASELINE.md). Implementation: the fused four-step tile
+engine (ops/ntt_tile.py; ~30 ms measured on TPU v5 lite) with the
+limb-major butterfly path (ops/ntt_fast.py; 140 ms) and the scan engine
+(ops/ntt.py; 424 ms) as fallbacks. The reference publishes no numbers;
+vs_baseline uses a ~0.35 s estimate for the rayon radix-2 FFT at 2^20 on a
+server CPU (halo2 fork, SURVEY.md L1). >1 means faster.
 """
 from __future__ import annotations
 
@@ -28,6 +29,27 @@ REPS = 6
 
 def _force(x) -> None:
     np.asarray(x[0, 0])
+
+
+def _bench_tiled(xm) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from scroll_prover_tpu.ops.ntt_tile import TiledDomain
+
+    dom = TiledDomain(K)
+    _force(dom.ntt(xm))  # compile + warm (one-time)
+    tiny = jax.jit(lambda v: v + jnp.uint32(0))
+    _force(tiny(xm))
+    t0 = time.perf_counter()
+    _force(tiny(xm))
+    rtt = time.perf_counter() - t0
+    y = xm
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        y = dom.ntt(y)
+    _force(y)
+    return max((time.perf_counter() - t0) - rtt, 1e-9) / REPS
 
 
 def _bench_fast(xm) -> float:
@@ -87,12 +109,16 @@ def main():
     xm = fo.to_mont(FR_LIMB, x)
     _force(xm)
 
-    impl = "pallas"
+    impl = "pallas-tile"
     try:
-        dt = _bench_fast(xm)
+        dt = _bench_tiled(xm)
     except Exception:
-        impl = "scan-fallback"
-        dt = _bench_scan(xm)
+        try:
+            impl = "pallas"
+            dt = _bench_fast(xm)
+        except Exception:
+            impl = "scan-fallback"
+            dt = _bench_scan(xm)
 
     print(
         json.dumps(

@@ -124,6 +124,37 @@ class EvaluationDomain:
         self.g_coset = FR_GENERATOR
         self.g_coset_inv = pow(FR_GENERATOR, -1, p)
 
+    # --- backend dispatch -------------------------------------------------
+
+    def _tiled(self, extended: bool):
+        """Fused Pallas four-step engine (ops/ntt_tile.py) for large sizes.
+
+        Used automatically on accelerator backends when the domain is at
+        least 2^MIN_K; SPT_NTT_TILED=0 forces the scan path, =1 forces tiled.
+        Only instantiated for Fr (the tile kernel's limb geometry).
+        """
+        import os
+
+        key = "tiled_ext" if extended else "tiled"
+        t = self._tables.get(key)
+        if t is not None:
+            return t
+        if self.field is not FR_LIMB:
+            self._tables[key] = False
+            return False
+        from .ntt_tile import TiledDomain
+
+        k = self.extended_k if extended else self.k
+        flag = os.environ.get("SPT_NTT_TILED", "auto")
+        use = (
+            flag != "0"
+            and k >= TiledDomain.MIN_K
+            and (flag == "1" or jax.default_backend() != "cpu")
+        )
+        t = TiledDomain(k) if use else False
+        self._tables[key] = t
+        return t
+
     # --- table management -----------------------------------------------
 
     def _table(self, name: str) -> jnp.ndarray:
@@ -166,12 +197,18 @@ class EvaluationDomain:
     def ntt(self, x) -> jnp.ndarray:
         """Coefficients -> evaluations over H (natural order). x: (n, L) mont."""
         assert x.shape == (self.n, N_LIMBS)
+        td = self._tiled(False)
+        if td:
+            return td.ntt(x)
         y = _ntt_dif(self.field, x, self._table("tw"))
         return jnp.take(y, self._table("bitrev"), axis=0)
 
     def intt(self, y) -> jnp.ndarray:
         """Evaluations over H -> coefficients."""
         assert y.shape == (self.n, N_LIMBS)
+        td = self._tiled(False)
+        if td:
+            return td.intt(y)
         x = _ntt_dif(self.field, y, self._table("tw_inv"))
         x = jnp.take(x, self._table("bitrev"), axis=0)
         return fo.mont_mul(self.field, x, self._scalar_mont(self.n_inv)[None, :])
@@ -181,17 +218,24 @@ class EvaluationDomain:
         assert x.shape == (self.extended_n, N_LIMBS)
         # multiply coefficient i by g_coset^i, then plain NTT over H_ext
         x = fo.mont_mul(self.field, x, self._table("coset_pow"))
+        td = self._tiled(True)
+        if td:
+            return td.ntt(x)
         y = _ntt_dif(self.field, x, self._table("tw_ext"))
         return jnp.take(y, self._table("bitrev_ext"), axis=0)
 
     def intt_extended(self, y) -> jnp.ndarray:
         """Evals over coset zeta*H_ext -> coefficients."""
         assert y.shape == (self.extended_n, N_LIMBS)
-        x = _ntt_dif(self.field, y, self._table("tw_ext_inv"))
-        x = jnp.take(x, self._table("bitrev_ext"), axis=0)
-        x = fo.mont_mul(
-            self.field, x, self._scalar_mont(self.extended_n_inv)[None, :]
-        )
+        td = self._tiled(True)
+        if td:
+            x = td.intt(y)
+        else:
+            x = _ntt_dif(self.field, y, self._table("tw_ext_inv"))
+            x = jnp.take(x, self._table("bitrev_ext"), axis=0)
+            x = fo.mont_mul(
+                self.field, x, self._scalar_mont(self.extended_n_inv)[None, :]
+            )
         return fo.mont_mul(self.field, x, self._table("coset_pow_inv"))
 
     # --- host-side helpers (testing / verifier) ---------------------------
