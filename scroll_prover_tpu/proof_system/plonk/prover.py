@@ -95,8 +95,21 @@ class _Queries:
         return cls(sorted(adv), sorted(fix), sorted(inst))
 
 
+def _n_h(cs: ConstraintSystem, dom) -> int:
+    """Quotient piece count: deg(h) < (d-1)n for term-degree budget d, so
+    only d-1 of the extended_n/n natural pieces are ever nonzero — the rest
+    would commit as identity points (unrepresentable in the in-circuit
+    verifier, and wasted transcript/MSM work everywhere else)."""
+    d = max(cs.max_gate_degree(), 5)
+    return min(dom.extended_n // dom.n, max(1, d - 1))
+
+
 def _perm_chunks(cs: ConstraintSystem) -> int:
-    return max(1, cs.max_gate_degree() - 2)
+    # chunk by the quotient-degree BUDGET (keygen._extended_j allows degree
+    # 5 for the permutation/lookup arguments even when gates are lower
+    # degree): fewer chunks = fewer grand products, commitments, and evals
+    # — which directly shrinks the in-circuit verifier's MSM.
+    return max(1, max(cs.max_gate_degree(), 5) - 2)
 
 
 def absorb_instances(tr, vk, instance) -> None:
@@ -599,8 +612,9 @@ def _build_quotient(
     acc = mm(acc, _encode_mont(vinv))
 
     h_coeffs = dom.intt_extended(acc)
-    # split into chunks of n
+    # split into chunks of n; pieces beyond the degree bound are identically
+    # zero (see _n_h) and are not part of the proof
     out = []
-    for a in range(ext_n // n):
+    for a in range(_n_h(cs, dom)):
         out.append(h_coeffs[a * n : (a + 1) * n])
     return out

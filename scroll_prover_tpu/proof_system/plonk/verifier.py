@@ -13,7 +13,7 @@ from ..kzg import SRS
 from ..transcript import PoseidonTranscript
 from .cs import ConstraintSystem
 from .keygen import DELTA, VerifyingKey
-from .prover import _Queries, _perm_chunks, _rot_point, absorb_instances
+from .prover import _Queries, _n_h, _perm_chunks, _rot_point, absorb_instances
 
 
 def verify(
@@ -21,7 +21,13 @@ def verify(
     transcript_cls=PoseidonTranscript,
     _debug: dict | None = None,
     return_pairing_inputs: bool = False,
+    fold_accumulator=None,
 ):
+    """fold_accumulator: optional ((lhs, rhs)) pair of G1 points from an
+    accumulator-carrying inner proof's first 12 instance cells; folded into
+    the pairing inputs with a fresh squeezed challenge, mirroring
+    gadgets/plonk_verifier.py exactly (the in-circuit and host transcripts
+    must squeeze the same stream)."""
     cs: ConstraintSystem = vk.cs
     dom = vk.domain
     n = dom.n
@@ -49,7 +55,7 @@ def verify(
     lookup_z_coms = [tr.read_point() for _ in cs.lookups]
     random_com = tr.read_point()
     y = tr.squeeze_challenge()
-    n_h = dom.extended_n // n
+    n_h = _n_h(cs, dom)
     h_coms = [tr.read_point() for _ in range(n_h)]
     x = tr.squeeze_challenge()
 
@@ -238,6 +244,7 @@ def verify(
         es.append(ek)
     ws = [tr.read_point() for _ in points_order]
     u_ch = tr.squeeze_challenge()
+    mu = tr.squeeze_challenge() if fold_accumulator is not None else None
 
     g = g1_generator()
     lhs_acc = None  # sum u^k W_k
@@ -252,6 +259,11 @@ def verify(
         rhs_acc = G1.add(rhs_acc, term if upow == 1 else G1.mul(term, upow))
         upow = upow * u_ch % FR_MOD
 
+    if fold_accumulator is not None:
+        lhs_in, rhs_in = fold_accumulator
+        lhs_acc = G1.add(lhs_acc, G1.mul(lhs_in, mu))
+        rhs_acc = G1.add(rhs_acc, G1.mul(rhs_in, mu))
+
     if return_pairing_inputs:
         # (A, B) with acceptance condition e(A, s*G2) == e(B, G2) — the
         # EVM verifier contract consumes these (evm/verifier_contract.py)
@@ -259,3 +271,44 @@ def verify(
     return pr.pairing_check(
         [(lhs_acc, srs.s_g2), (G1.neg(rhs_acc), srs.g2)]
     )
+
+
+def accumulator_for(vk: VerifyingKey, instance, proof: bytes, inner_acc=None):
+    """Host twin of the in-circuit verifier: the KZG accumulator (lhs, rhs)
+    an outer VerifierCircuit exposes as its first 12 instance cells."""
+    return verify(
+        None, vk, instance, proof,
+        return_pairing_inputs=True, fold_accumulator=inner_acc,
+    )
+
+
+def check_accumulator(srs: SRS, lhs, rhs) -> bool:
+    """Deferred pairing: e(lhs, s*G2) == e(rhs, G2)."""
+    return pr.pairing_check([(lhs, srs.s_g2), (G1.neg(rhs), srs.g2)])
+
+
+def acc_limbs(lhs, rhs) -> list[int]:
+    """(lhs, rhs) -> the 12 instance cells (3 x 88-bit limbs per coord)."""
+    out = []
+    for pt in (lhs, rhs):
+        for coord in (pt[0], pt[1]):
+            for i in range(3):
+                out.append((coord >> (88 * i)) & ((1 << 88) - 1))
+    return out
+
+
+def acc_from_limbs(limbs: list[int]):
+    """Instance cells -> (lhs, rhs); coordinates reduced mod p (limb
+    encodings are unique only up to + p, which maps to the same point)."""
+    from ...fields.bn254 import FQ_MOD
+
+    assert len(limbs) >= 12
+    coords = []
+    for c in range(4):
+        v = sum(int(limbs[c * 3 + i]) << (88 * i) for i in range(3))
+        coords.append(v % FQ_MOD)
+    lhs = (coords[0], coords[1])
+    rhs = (coords[2], coords[3])
+    for x, y in (lhs, rhs):
+        assert (y * y - x * x * x - 3) % FQ_MOD == 0, "accumulator not on curve"
+    return lhs, rhs

@@ -25,11 +25,16 @@ from ..proof_system.plonk.verifier import verify as plonk_verify
 from ..witness.block import chunk_trace_to_witness_block
 from ..witness.capacity import calculate_row_usage_of_witness_block
 from ..zkevm import INNER_DEGREE, ScrollSuperCircuit, chunk_instance
+from ..proof_system.plonk.verifier import (
+    acc_from_limbs,
+    check_accumulator,
+)
 from .chunk_info import ChunkInfo
 from .compression import CompressionCircuit, compression_digest
 from .proofs import ChunkProofInner, ChunkProofV2, ProofPayload
 from .protocol import protocol_from_vk
 from .tasks import ChunkProvingTask
+from .verifier_circuit import ACC_CELLS, VerifierCircuit
 
 log = logging.getLogger(__name__)
 
@@ -118,15 +123,26 @@ class ChunkProver:
             vk_id=hex(vk.transcript_repr()),
         )
 
+        # layers 1/2: REAL in-circuit SNARK verification of the previous
+        # layer, deferred pairing carried as the 12-cell KZG accumulator
+        # (reference layer1/layer2 CompressionCircuit semantics, SURVEY.md
+        # section 3.1; accumulator_indices per release-v0.13.1/chunk.protocol)
         layers = [inner]
+        layer_vk = vk
         for layer in (1, 2):
             prev = layers[-1]
-            comp = CompressionCircuit(prev.instances, prev.proof)
+            comp = VerifierCircuit(
+                layer_vk, prev.proof, prev.instances,
+                inner_has_acc=(layer == 2),
+            )
             k_c = comp.min_k()
             srs_c = self._srs_for(k_c)
-            pk_c, vk_c = self._kg.get(srs_c, k_c, comp, f"layer{layer}")
+            pk_c, vk_c = self._kg.get(
+                srs_c, k_c, comp,
+                f"layer{layer}_{hex(layer_vk.transcript_repr())[:18]}",
+            )
             ci = comp.instance_for()
-            log.info("chunk %s: layer%d compression at k=%d", name, layer, k_c)
+            log.info("chunk %s: layer%d verifier-circuit at k=%d", name, layer, k_c)
             proof_c = plonk_prove(srs_c, pk_c, comp, ci)
             layers.append(
                 ProofPayload(
@@ -136,6 +152,7 @@ class ChunkProver:
                     vk_id=hex(vk_c.transcript_repr()),
                 )
             )
+            layer_vk = vk_c
 
         proof = ChunkProofV2(
             ChunkProofInner(layers=layers, chunk_info_=chunk_info, row_usages=row_usages)
@@ -159,26 +176,66 @@ class ChunkVerifier:
         return ChunkProver._srs_for(self, k)
 
     def verify_chunk_proof(self, proof: ChunkProofV2) -> bool:
-        """Walk the compression chain down to the inner super-circuit proof."""
+        """O(1) recursive verification: ONE SNARK check of the outermost
+        (layer2) verifier-circuit proof plus ONE pairing on its 12-cell KZG
+        accumulator. Layer2 verified inner proofs in-circuit, so this
+        transitively attests to layer1 and the inner super-circuit proof —
+        no layer walk (reference semantics: ChunkVerifier::verify_chunk_proof
+        checks only the layer-2 proof, SURVEY.md section 3.1)."""
         layers = proof.inner.layers
-        assert len(layers) == 3, "chunk proof = inner + layer1 + layer2"
-        # top-down: each compression layer binds the one below via digest
-        for li in (2, 1):
-            outer, innerp = layers[li], layers[li - 1]
-            want = [compression_digest(innerp.instances, innerp.proof)] + list(
-                innerp.instances
+        l2 = layers[-1]
+        k = l2.protocol["domain"]["k"]
+        srs = self._srs_for(k)
+        # fail closed: the expected layer2 vk must come from the registry or
+        # serialized assets; a self-supplied vk would let a prover verify
+        # against a circuit that doesn't actually check anything
+        vk = load_vk(l2.vk_id, self.assets_dir)
+        if vk is None:
+            log.error(
+                "layer2 vk %s unavailable (registry/assets_dir=%r); rejecting",
+                l2.vk_id, self.assets_dir,
             )
-            if list(outer.instances) != want:
-                log.error("layer%d instance binding mismatch", li)
-                return False
-            if not self._verify_payload(outer, CompressionCircuit(innerp.instances, innerp.proof)):
-                log.error("layer%d SNARK verification failed", li)
-                return False
-        # inner proof: rebuild vk from the witness-block shape is not
-        # possible without the witness; the vk commitment is bound via
-        # protocol.transcript_initial_state == payload.vk_id
-        inner = layers[0]
-        return self._verify_inner(inner, proof.inner.chunk_info_)
+            return False
+        if hex(vk.transcript_repr()) != l2.vk_id:
+            log.error("layer2 vk digest mismatch")
+            return False
+        if not plonk_verify(srs, vk, [l2.instances], l2.proof):
+            log.error("layer2 SNARK verification failed")
+            return False
+        try:
+            lhs, rhs = acc_from_limbs(l2.instances[:ACC_CELLS])
+        except AssertionError:
+            log.error("layer2 accumulator cells malformed")
+            return False
+        if not check_accumulator(srs, lhs, rhs):
+            log.error("deferred KZG accumulator pairing failed")
+            return False
+        return self._check_chunk_binding(
+            list(l2.instances[ACC_CELLS:]), proof.inner.chunk_info_
+        )
+
+    def _check_chunk_binding(self, passthrough: list[int], chunk_info) -> bool:
+        """Layer2's pass-through instances must equal the inner chunk
+        instance derived from the claimed chunk_info."""
+        from ..witness.block import WitnessBlock
+        from ..zkevm.super_circuit import chunk_instance as ci_fn
+
+        wb = WitnessBlock(
+            chain_id=chunk_info.chain_id,
+            prev_state_root=chunk_info.prev_state_root,
+            post_state_root=chunk_info.post_state_root,
+            withdraw_root=chunk_info.withdraw_root,
+            tx_bytes=chunk_info.tx_bytes,
+        )
+        want = ci_fn(wb)
+        if passthrough[:7] != want[:7]:
+            log.error("chunk pass-through/chunk_info mismatch")
+            return False
+        dh = int(chunk_info.data_hash, 16)
+        if passthrough[7:9] != [(dh >> 128) % FR_MOD, dh & ((1 << 128) - 1)]:
+            log.error("chunk data_hash/chunk_info mismatch")
+            return False
+        return True
 
     def _verify_payload(self, payload: ProofPayload, circuit) -> bool:
         k = payload.protocol["domain"]["k"]
