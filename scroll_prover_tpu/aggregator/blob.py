@@ -97,22 +97,61 @@ def barycentric_evaluate(coeffs: list[int], z: int) -> int:
 import os
 
 _BLOB_KZG = None
+_COMMIT_CACHE: dict[bytes, bytes] = {}
+
+
+def _kzg():
+    """Module singleton with a disk-cached Lagrange basis (the basis build
+    costs ~20 s host-side; the toy-SRS seed is deterministic so the cache
+    is safe). Production would load the ceremony's trusted_setup file here
+    (reference c-kzg kzg_settings)."""
+    global _BLOB_KZG
+    if _BLOB_KZG is None:
+        from ..curves.bls12_381 import BlobKzg
+
+        _BLOB_KZG = BlobKzg()
+        cache = os.path.join(
+            os.path.dirname(__file__), "..", "..", ".cache", "bls_basis.bin"
+        )
+        try:
+            if os.path.exists(cache):
+                import pickle
+
+                with open(cache, "rb") as f:
+                    tau, basis = pickle.load(f)
+                if tau == _BLOB_KZG.tau:
+                    _BLOB_KZG._lagrange = basis
+            else:
+                _BLOB_KZG._lagrange_basis()
+                os.makedirs(os.path.dirname(cache), exist_ok=True)
+                import pickle
+
+                with open(cache, "wb") as f:
+                    pickle.dump((_BLOB_KZG.tau, _BLOB_KZG._lagrange), f)
+        except Exception:  # cache is best-effort
+            pass
+    return _BLOB_KZG
 
 
 def blob_commitment(blob_bytes: bytes) -> bytes:
-    """48-byte blob commitment. With SPT_REAL_BLOB_KZG=1, a real BLS12-381
-    G1 KZG commitment over the Lagrange SRS (curves/bls12_381.py); default
-    is a hash with the same wire shape (the real path costs seconds per
-    blob on host — device MSM port pending)."""
-    if os.environ.get("SPT_REAL_BLOB_KZG"):
-        global _BLOB_KZG
-        from ..curves.bls12_381 import BlobKzg, g1_compress
+    """48-byte blob commitment: a REAL BLS12-381 G1 KZG commitment over the
+    Lagrange-basis SRS by DEFAULT (round-1 ADVICE: the consensus-critical
+    value must have on-chain semantics). SPT_STUB_BLOB_KZG=1 opts into a
+    hash stub with the same wire shape for hermetic speed-sensitive tests —
+    never for anything consensus-facing."""
+    if os.environ.get("SPT_STUB_BLOB_KZG"):
+        h = hashlib.sha512(b"spt-blob-commit" + blob_bytes).digest()
+        return h[:48]
+    key = hashlib.sha256(blob_bytes).digest()
+    got = _COMMIT_CACHE.get(key)
+    if got is None:
+        from ..curves.bls12_381 import g1_compress
 
-        if _BLOB_KZG is None:
-            _BLOB_KZG = BlobKzg()
-        return g1_compress(_BLOB_KZG.commit(blob_to_coefficients(blob_bytes)))
-    h = hashlib.sha512(b"spt-blob-commit" + blob_bytes).digest()
-    return h[:48]
+        got = g1_compress(_kzg().commit(blob_to_coefficients(blob_bytes)))
+        if len(_COMMIT_CACHE) > 64:
+            _COMMIT_CACHE.clear()
+        _COMMIT_CACHE[key] = got
+    return got
 
 
 def blob_versioned_hash(blob_bytes: bytes) -> bytes:
@@ -129,3 +168,33 @@ def point_evaluation(blob_bytes: bytes, challenge_seed: bytes) -> tuple[int, int
     coeffs = blob_to_coefficients(blob_bytes)
     y = barycentric_evaluate(coeffs, z)
     return z, y
+
+
+def point_evaluation_proof(blob_bytes: bytes, challenge_seed: bytes) -> dict:
+    """Full EIP-4844 point-evaluation package: challenge z, claimed y, the
+    48-byte blob commitment, and the 48-byte KZG opening proof W for
+    (f(X) - y)/(X - z) — what the point-evaluation precompile takes as
+    input (reference c-kzg compute_kzg_proof)."""
+    from ..curves.bls12_381 import g1_compress
+
+    z, y = point_evaluation(blob_bytes, challenge_seed)
+    coeffs = blob_to_coefficients(blob_bytes)
+    y2, w = _kzg().open_at(coeffs, z)
+    assert y2 == y
+    return {
+        "z": z,
+        "y": y,
+        "commitment": blob_commitment(blob_bytes),
+        "proof": g1_compress(w),
+    }
+
+
+def verify_blob_proof(commitment48: bytes, z: int, y: int, proof48: bytes) -> bool:
+    """Pairing-check the point-evaluation proof: e(W, [tau - z]_2) ==
+    e(C - [y]_1, G2) over real BLS12-381 (the precompile's verification
+    equation; reference c-kzg verify_kzg_proof via blst)."""
+    from ..curves.bls12_381 import g1_decompress
+
+    return _kzg().verify(
+        g1_decompress(commitment48), z, y, g1_decompress(proof48)
+    )

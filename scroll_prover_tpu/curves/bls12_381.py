@@ -21,6 +21,21 @@ G1_GEN = (
     0x17F1D3A73197D7942695638C4FA9AC0FC3688C4F9774B905A14E3A3F171BAC586C55E83FF97A1AEFFB3AF00ADB22C6BB,
     0x08B3F481E3AAA0F1A09E30ED741D8AE4FCF5E095D5D00AF600DB18CB2C04B3EDD03CC744A2888AE40CAA232946C5E7E1,
 )
+# order-r G2 generator on the M-twist y^2 = x^3 + 4(1+u); coords are Fq2
+# pairs (c0, c1) meaning c0 + c1*u. Derived by clearing the twist cofactor
+# h2 = (q^2 + 1 + (3f - t2)/2)/r off the first curve point with x = 1 + u
+# (any order-r generator serves our locally-generated SRS; a production
+# deployment loads the ceremony's points instead — download_setup.sh role).
+G2_GEN = (
+    (
+        0x4D1CC4AD56B68CDB595ADB46CAD2CC82E3D0DA9A75EF283B6BBD91DF14533E1A45128EC26F8AB25072DA969D7628B70,
+        0x13A471D5149813B306FE76921CFF7BB8D5C03FDC24A613F3E7A7FB8DEB8097699751485A0BD2AD391718AAA4419CE75B,
+    ),
+    (
+        0xA3D002CAC5C50EB9E97E8B62CA30FFC5BF5AAACEC121CDB63E19A5E358C4804439EDB98366C02FD2840C7B9004F8B99,
+        0x1834907430540701FA8AA597F79E63960EC77037A7D9A06606C4C58BD8019969EDABB81B77FAE18489A80D47BAB79D25,
+    ),
+)
 
 
 def _inv(a: int) -> int:
@@ -211,3 +226,31 @@ class BlobKzg:
         from ..aggregator.blob import barycentric_evaluate
 
         return barycentric_evaluate(blob_coeffs, z) == y
+
+    def tau_g2(self):
+        """[tau]_2 — the only G2 element a verifier needs (c-kzg's
+        kzg_settings.g2_values[1])."""
+        from .bls12_381_pairing import g2_generator, g2_mul
+
+        if not hasattr(self, "_tau_g2"):
+            self._tau_g2 = g2_mul(g2_generator(), self.tau)
+        return self._tau_g2
+
+    def verify(self, commitment, z: int, y: int, proof) -> bool:
+        """EIP-4844 verify_kzg_proof: e(W, [tau - z]_2) == e(C - [y]_1, G2)
+        — a REAL BLS12-381 pairing check (reference c-kzg/blst linkage,
+        SURVEY.md native component #3). Uses only [tau]_2 + group ops, as a
+        ceremony-based verifier would."""
+        from .bls12_381_pairing import (
+            g2_add,
+            g2_generator,
+            g2_mul,
+            pairing_check,
+        )
+
+        g2 = g2_generator()
+        tau_minus_z = g2_add(self.tau_g2(), g2_mul(g2, (-int(z)) % R))
+        c_minus_y = g1_add(commitment, g1_neg(g1_mul(G1_GEN, y % R)))
+        return pairing_check(
+            [(proof, tau_minus_z), (g1_neg(c_minus_y) if c_minus_y else None, g2)]
+        )
