@@ -25,6 +25,8 @@ reduced with collectives) lives in parallel/msm_sharded.py.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -310,3 +312,114 @@ def msm_host(points, scalars):
 
     sl = jnp.asarray(ints_to_limbs([int(s) for s in scalars]))
     return ec.decode_point(msm_padded(pa, sl))
+
+
+# --- select-based bucket MSM (no scatter: TPU-native) --------------------------
+#
+# The scatter-accumulate msm() above is correct but XLA lowers its
+# gather/scatter over (W, V, B) tables to serialized dynamic slices on TPU
+# (~0.02 Mpts/s measured). This variant trades window width for pure
+# select/where updates: 4-bit signed digits give 9 buckets per window, and
+# each scan step rewrites every bucket with `where(digit == b, new, old)` —
+# a dense, fully-vectorized update. HBM traffic per step is the whole
+# (W4, V, 9) table, which is why the small bucket count wins: the traffic
+# product W*B is 64*9 = 576 vs 32*129 = 4128 for 8-bit windows.
+
+C4 = 4
+W4 = 256 // C4  # 64 windows
+B4 = (1 << (C4 - 1)) + 1  # buckets 0..8 (signed digits), bucket 0 discarded
+
+
+def _signed_digits4(scalar_limbs: jnp.ndarray):
+    """(n, L) standard limbs -> digits (W4, n) in [0, 8], signs (W4, n)."""
+    per_limb = LIMB_BITS // C4
+    parts = []
+    for w in range(W4):
+        limb = w // per_limb
+        shift = (w % per_limb) * C4
+        parts.append((scalar_limbs[:, limb] >> shift) & jnp.uint32(15))
+    digs = jnp.stack(parts)  # (W4, n) in [0, 16)
+    half = jnp.uint32(1 << (C4 - 1))
+    full = jnp.uint32(1 << C4)
+
+    def body(carry, d):
+        e = d + carry
+        neg = e > half
+        out = jnp.where(neg, full - e, e)
+        return neg.astype(jnp.uint32), (out, neg)
+
+    carry0 = jnp.zeros(digs.shape[1], jnp.uint32)
+    _carry, (out, signs) = jax.lax.scan(body, carry0, digs)
+    return out, signs
+
+
+MSM_LANES4 = int(os.environ.get("SPT_MSM_LANES", "256"))
+
+
+@jax.jit
+def msm_onehot(points_affine_mont: jnp.ndarray, scalar_limbs: jnp.ndarray) -> ec.PointP:
+    """O(n) bucket MSM with select-based accumulation. points: (n, 2, L)
+    Montgomery affine; scalars: (n, L) standard limbs -> projective point."""
+    n = points_affine_mont.shape[0]
+    V = min(MSM_LANES4, n)
+    steps = n // V
+    assert steps * V == n, "n must be a multiple of the lane count"
+    digs, signs = _signed_digits4(scalar_limbs)  # (W4, n)
+
+    px = points_affine_mont[:, 0, :].reshape(steps, V, N_LIMBS)
+    py = points_affine_mont[:, 1, :].reshape(steps, V, N_LIMBS)
+    d_s = digs.reshape(W4, steps, V).transpose(1, 0, 2)  # (steps, W4, V)
+    s_s = signs.reshape(W4, steps, V).transpose(1, 0, 2)
+
+    tbl = ec.identity((W4, V, B4))
+    b_idx = jnp.arange(B4, dtype=jnp.uint32)[None, None, :]  # (1, 1, B4)
+
+    def body(t, inp):
+        qx, qy, d, s = inp
+        qx = jnp.broadcast_to(qx[None], (W4, V, N_LIMBS))
+        qy = jnp.broadcast_to(qy[None], (W4, V, N_LIMBS))
+        qy = fo.select(s, fo.neg_mod(ec.F, qy), qy)
+        # current bucket content for each (w, lane): select over the 9 slots
+        sel = d[..., None] == b_idx  # (W4, V, B4) one-hot
+        cur = ec.PointP(
+            jnp.sum(jnp.where(sel[..., None], t.x, 0), axis=2),
+            jnp.sum(jnp.where(sel[..., None], t.y, 0), axis=2),
+            jnp.sum(jnp.where(sel[..., None], t.z, 0), axis=2),
+        )
+        new = ec.madd(cur, qx, qy)
+        t = ec.PointP(
+            jnp.where(sel[..., None], new.x[:, :, None, :], t.x),
+            jnp.where(sel[..., None], new.y[:, :, None, :], t.y),
+            jnp.where(sel[..., None], new.z[:, :, None, :], t.z),
+        )
+        return t, None
+
+    tbl, _ = jax.lax.scan(body, tbl, (px, py, d_s, s_s))
+
+    # lane reduction: (W4, V, B4) -> (W4, B4)
+    while tbl.x.shape[1] > 1:
+        h = tbl.x.shape[1] // 2
+        lo = ec.PointP(tbl.x[:, :h], tbl.y[:, :h], tbl.z[:, :h])
+        hi = ec.PointP(tbl.x[:, h:], tbl.y[:, h:], tbl.z[:, h:])
+        tbl = ec.add(lo, hi)
+    buckets = ec.PointP(tbl.x[:, 0], tbl.y[:, 0], tbl.z[:, 0])  # (W4, B4)
+
+    # weighted sum sum_{b=1..8} b*S_b via suffix sums (8 tiny vector adds)
+    bsum = ec.PointP(buckets.x[:, 1:], buckets.y[:, 1:], buckets.z[:, 1:])
+    suffix = _hs_scan_points(bsum, reverse=True)
+    total = _hs_scan_points(suffix)
+    win = ec.PointP(total.x[:, -1], total.y[:, -1], total.z[:, -1])  # (W4,)
+
+    def dbl_body(_, p):
+        return ec.double(p)
+
+    def fold(acc, i):
+        acc = jax.lax.fori_loop(0, C4, dbl_body, acc)
+        s = ec.PointP(win.x[i], win.y[i], win.z[i])
+        one = ec.PointP(s.x[None], s.y[None], s.z[None])
+        accb = ec.PointP(acc.x[None], acc.y[None], acc.z[None])
+        out = ec.add(accb, one)
+        return ec.PointP(out.x[0], out.y[0], out.z[0]), None
+
+    acc, _ = jax.lax.scan(fold, ec.identity(), jnp.arange(W4 - 1, -1, -1))
+    return acc

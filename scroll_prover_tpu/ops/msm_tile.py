@@ -1,0 +1,285 @@
+"""Fused Pallas bucket-MSM: VMEM-resident buckets, select-based updates.
+
+The composed-op MSMs in ops/msm.py are correct but HBM-traffic-bound on
+TPU (every intermediate limb array round-trips HBM; XLA lowers their
+gather/scatter to serialized dynamic slices — ~0.02 Mpts/s measured at
+2^16). This kernel keeps the whole bucket table in VMEM scratch and fuses
+the mixed-add arithmetic, following the ntt_tile.py playbook
+(/opt/skills/guides/pallas_guide.md):
+
+  * 4-bit signed windows: 64 windows x 9 buckets (digits in [-8, 8];
+    bucket 0 is discarded, so zero digits and padding are free). The small
+    bucket count is what makes select-based accumulation affordable — the
+    per-step bucket sweep touches W*B = 576 bucket slots vs 4128 for 8-bit
+    windows.
+  * grid (window, point-tile), TPU-sequential: scratch bucket coords
+    (9, L, 8, 128) persist across the point tiles of one window and reset
+    at tile 0; each step does ONE fused RCB15 mixed add (complete in the
+    bucket, identity-initialised) on a (8, 128) lane tile plus a one-hot
+    select read/write of the 9 buckets.
+  * points stream limb-major (L, tiles, 8, 128) from HBM once per window;
+    signed digits/signs are precomputed host/device-side (the carry chain
+    is sequential across windows).
+
+Capability anchor: halo2's variable-base Pippenger inside create_proof
+(SURVEY.md section 3.1 hot path: "MSM over 2^20 SRS"); VERDICT round-2
+items 2/3.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields.limbs import FQ_LIMB, N_LIMBS, ints_to_limbs
+from . import ec
+from .msm import _signed_digits4, _hs_scan_points, C4, W4, B4
+from .ntt_tile import _kl_add, _kl_cond_sub, _kl_select, _kl_sub, _kl_sub_raw
+
+FQ = FQ_LIMB
+_MASK16 = np.uint32(0xFFFF)
+_N0INV_Q = np.uint32(FQ.n0inv)
+
+SUB_T = 8  # sublane tile; lane tile is 128 -> 1024 points per grid step
+
+
+def _kl_mont_mul_q(p, a, b):
+    """CIOS Montgomery product over Fq (same machinery as ntt_tile's Fr
+    version, Fq n0inv)."""
+    L = N_LIMBS
+    shape = jnp.broadcast_shapes(a[0].shape, b[0].shape)
+    t = [jnp.zeros(shape, jnp.uint32) for _ in range(2 * L)]
+    for i in range(L):
+        ai = a[i]
+        for j in range(L):
+            prod = ai * b[j]
+            t[i + j] = t[i + j] + (prod & _MASK16)
+            t[i + j + 1] = t[i + j + 1] + (prod >> 16)
+    c = jnp.zeros(shape, jnp.uint32)
+    for i in range(L):
+        ti = t[i] + c
+        m = (ti * _N0INV_Q) & _MASK16
+        for j in range(L):
+            prod = m * p[j]
+            t[i + j] = t[i + j] + (prod & _MASK16)
+            if i + j + 1 < 2 * L:
+                t[i + j + 1] = t[i + j + 1] + (prod >> 16)
+        c = (t[i] + c) >> 16
+    res = t[L : 2 * L]
+    res[0] = res[0] + c
+    out = []
+    cc = jnp.zeros(shape, jnp.uint32)
+    for j in range(L):
+        s = res[j] + cc
+        out.append(s & _MASK16)
+        cc = s >> 16
+    return _kl_cond_sub(p, out, cc)
+
+
+def _kl_madd(p, b3, X1, Y1, Z1, qx, qy):
+    """RCB15 algorithm 8 (a=0, mixed, complete in the projective operand) —
+    mirrors ops/ec.py madd with kernel-local limb lists."""
+    mul = lambda a, b: _kl_mont_mul_q(p, a, b)
+    add_ = lambda a, b: _kl_add(p, a, b)
+    sub = lambda a, b: _kl_sub(p, a, b)
+
+    t0 = mul(X1, qx)
+    t1 = mul(Y1, qy)
+    t3 = add_(qx, qy)
+    t4 = add_(X1, Y1)
+    t3 = mul(t3, t4)
+    t4 = add_(t0, t1)
+    t3 = sub(t3, t4)
+    t4 = mul(qy, Z1)
+    t4 = add_(t4, Y1)
+    y3 = mul(qx, Z1)
+    y3 = add_(y3, X1)
+    x3 = add_(t0, t0)
+    t0 = add_(x3, t0)
+    t2 = mul(b3, Z1)
+    z3 = add_(t1, t2)
+    t1 = sub(t1, t2)
+    y3 = mul(b3, y3)
+    x3 = mul(t4, y3)
+    t2 = mul(t3, t1)
+    x3 = sub(t2, x3)
+    y3 = mul(y3, t0)
+    t1 = mul(t1, z3)
+    y3 = add_(t1, y3)
+    t0 = mul(t0, t3)
+    z3 = mul(z3, t4)
+    z3 = add_(z3, t0)
+    return x3, y3, z3
+
+
+def _msm_kernel(
+    px_ref, py_ref, d_ref, s_ref, c_ref, o_ref, bx, by, bz, *, tiles: int
+):
+    t = pl.program_id(1)
+    p = [c_ref[l, 0] for l in range(N_LIMBS)]
+    b3 = [c_ref[l, 1] for l in range(N_LIMBS)]
+
+    @pl.when(t == 0)
+    def _init():
+        bx[...] = jnp.zeros_like(bx)
+        bz[...] = jnp.zeros_like(bz)
+        for l in range(N_LIMBS):
+            by[:, l] = jnp.broadcast_to(
+                c_ref[l, 2], (by.shape[0],) + by.shape[2:]
+            )
+
+    qx = [px_ref[l, 0] for l in range(N_LIMBS)]
+    qy = [py_ref[l, 0] for l in range(N_LIMBS)]
+    d = d_ref[0, 0]  # (SUB_T, 128) uint32 in [0, 8]
+    sgn = s_ref[0, 0] != 0
+    zero = [jnp.zeros_like(q) for q in qy]
+    neg_y = _kl_sub(p, zero, qy)
+    qy = _kl_select(sgn, neg_y, qy)
+
+    # one-hot read of the current bucket per lane
+    curx = [jnp.zeros_like(d) for _ in range(N_LIMBS)]
+    cury = [jnp.zeros_like(d) for _ in range(N_LIMBS)]
+    curz = [jnp.zeros_like(d) for _ in range(N_LIMBS)]
+    masks = [d == jnp.uint32(b) for b in range(B4)]
+    for b in range(B4):
+        m = masks[b]
+        for l in range(N_LIMBS):
+            curx[l] = jnp.where(m, bx[b, l], curx[l])
+            cury[l] = jnp.where(m, by[b, l], cury[l])
+            curz[l] = jnp.where(m, bz[b, l], curz[l])
+
+    nx, ny, nz = _kl_madd(p, b3, curx, cury, curz, qx, qy)
+
+    for b in range(B4):
+        m = masks[b]
+        for l in range(N_LIMBS):
+            bx[b, l] = jnp.where(m, nx[l], bx[b, l])
+            by[b, l] = jnp.where(m, ny[l], by[b, l])
+            bz[b, l] = jnp.where(m, nz[l], bz[b, l])
+
+    @pl.when(t == tiles - 1)
+    def _flush():
+        for l in range(N_LIMBS):
+            o_ref[0, :, 0, l] = bx[:, l]
+            o_ref[0, :, 1, l] = by[:, l]
+            o_ref[0, :, 2, l] = bz[:, l]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _msm_buckets(px, py, digs, signs, interpret: bool = False):
+    """px/py: (L, tiles, SUB_T, 128); digs/signs: (W4, tiles, SUB_T, 128).
+    Returns (W4, B4, 3, L, SUB_T, 128) bucket table."""
+    L, tiles, st, lanes = px.shape
+    consts = jnp.asarray(_consts())
+    pt_spec = pl.BlockSpec((L, 1, st, lanes), lambda w, t: (0, t, 0, 0))
+    dg_spec = pl.BlockSpec((1, 1, st, lanes), lambda w, t: (w, t, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_msm_kernel, tiles=tiles),
+        out_shape=jax.ShapeDtypeStruct((W4, B4, 3, L, st, lanes), jnp.uint32),
+        grid=(W4, tiles),
+        in_specs=[
+            pt_spec,
+            pt_spec,
+            dg_spec,
+            dg_spec,
+            pl.BlockSpec((L, 3), lambda w, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, B4, 3, L, st, lanes), lambda w, t: (w, 0, 0, 0, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B4, L, st, lanes), jnp.uint32),
+            pltpu.VMEM((B4, L, st, lanes), jnp.uint32),
+            pltpu.VMEM((B4, L, st, lanes), jnp.uint32),
+        ],
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(px, py, digs, signs, consts)
+    return out
+
+
+_CONSTS = None
+
+
+def _consts() -> np.ndarray:
+    global _CONSTS
+    if _CONSTS is None:
+        p = FQ.modulus
+        cols = [
+            FQ.p_limbs,
+            ints_to_limbs([9 * (1 << 256) % p])[0],  # b3 = 3b in Montgomery
+            ints_to_limbs([(1 << 256) % p])[0],  # one in Montgomery
+        ]
+        _CONSTS = np.stack([np.asarray(c, np.uint32) for c in cols], axis=1)
+    return _CONSTS
+
+
+def msm_tile(
+    points_affine_mont: jnp.ndarray,
+    scalar_limbs: jnp.ndarray,
+    interpret: bool = False,
+) -> ec.PointP:
+    """points: (n, 2, L) Montgomery affine; scalars: (n, L) standard limbs.
+    Returns one projective point. Pads n up to a 1024 multiple with
+    zero-scalar copies of point 0 (they land in the discarded bucket 0)."""
+    n = points_affine_mont.shape[0]
+    lane = SUB_T * 128
+    npad = (-n) % lane
+    if npad:
+        pad_pt = jnp.broadcast_to(
+            points_affine_mont[:1], (npad,) + points_affine_mont.shape[1:]
+        )
+        points_affine_mont = jnp.concatenate([points_affine_mont, pad_pt])
+        scalar_limbs = jnp.concatenate(
+            [scalar_limbs, jnp.zeros((npad, N_LIMBS), jnp.uint32)]
+        )
+        n += npad
+    tiles = n // lane
+
+    digs, signs = _signed_digits4(scalar_limbs)  # (W4, n)
+    px = points_affine_mont[:, 0, :].T.reshape(N_LIMBS, tiles, SUB_T, 128)
+    py = points_affine_mont[:, 1, :].T.reshape(N_LIMBS, tiles, SUB_T, 128)
+    d4 = digs.reshape(W4, tiles, SUB_T, 128)
+    s4 = signs.astype(jnp.uint32).reshape(W4, tiles, SUB_T, 128)
+
+    tbl = _msm_buckets(px, py, d4, s4, interpret)
+    return _reduce_buckets(tbl)
+
+
+@jax.jit
+def _reduce_buckets(tbl: jnp.ndarray) -> ec.PointP:
+    """(W4, B4, 3, L, SUB_T, 128) -> one projective point."""
+    lanes = tbl.shape[-2] * tbl.shape[-1]
+    t = tbl.reshape(W4, B4, 3, N_LIMBS, lanes)
+    t = jnp.moveaxis(t, 3, -1)  # (W4, B4, 3, lanes, L)
+    pt = ec.PointP(t[:, :, 0], t[:, :, 1], t[:, :, 2])
+    while pt.x.shape[2] > 1:
+        h = pt.x.shape[2] // 2
+        lo = ec.PointP(pt.x[:, :, :h], pt.y[:, :, :h], pt.z[:, :, :h])
+        hi = ec.PointP(pt.x[:, :, h:], pt.y[:, :, h:], pt.z[:, :, h:])
+        pt = ec.add(lo, hi)
+    buckets = ec.PointP(pt.x[:, :, 0], pt.y[:, :, 0], pt.z[:, :, 0])  # (W4, B4)
+
+    bsum = ec.PointP(buckets.x[:, 1:], buckets.y[:, 1:], buckets.z[:, 1:])
+    suffix = _hs_scan_points(bsum, reverse=True)
+    total = _hs_scan_points(suffix)
+    win = ec.PointP(total.x[:, -1], total.y[:, -1], total.z[:, -1])  # (W4,)
+
+    def dbl_body(_, p):
+        return ec.double(p)
+
+    def fold(acc, i):
+        acc = jax.lax.fori_loop(0, C4, dbl_body, acc)
+        s = ec.PointP(win.x[i][None], win.y[i][None], win.z[i][None])
+        accb = ec.PointP(acc.x[None], acc.y[None], acc.z[None])
+        out = ec.add(accb, s)
+        return ec.PointP(out.x[0], out.y[0], out.z[0]), None
+
+    acc, _ = jax.lax.scan(fold, ec.identity(), jnp.arange(W4 - 1, -1, -1))
+    return acc

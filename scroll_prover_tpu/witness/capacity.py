@@ -104,10 +104,18 @@ class RowUsage:
 
 def row_usage_of_witness_block(wb: WitnessBlock) -> RowUsage:
     evm = sum(get_step_height(s.op) for s in wb.steps) + 3 * wb.num_txs
-    state = wb.rw_ops
-    bytecode = sum(l + 1 for l in wb.bytecodes.values())
+    # real rw rows (bridging writes excluded) + a uniform 2x allowance per
+    # read: actual assignment rows = base + bridges <= base + reads, and the
+    # formula is slice-additive, so the per-tx incremental estimate equals
+    # the chunk-level optimal (compare_ccc_results upper-bound invariant)
+    n_reads = sum(1 for r in wb.rw_rows if not r.is_write)
+    base = sum(1 for r in wb.rw_rows if not r.is_bridge)
+    state = max(base + n_reads, wb.rw_ops if not wb.rw_rows else 0)
+    bytecode = sum(len(c) + 1 for c in wb.bytecode_map.values()) or sum(
+        l + 1 for l in wb.bytecodes.values()
+    )
     copy = 2 * wb.copy_bytes
-    keccak = sum(
+    keccak = len(wb.keccak_events) + sum(
         (max(len(i), 1) + 135) // 136 * _KECCAK_ROWS_PER_PERM
         for i in wb.keccak_inputs
     )

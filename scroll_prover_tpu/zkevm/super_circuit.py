@@ -20,13 +20,14 @@ from ..proof_system.plonk.cs import Circuit, ConstraintSystem, empty_assignment
 from ..witness.block import WitnessBlock
 from ..witness.capacity import row_usage_of_witness_block
 from .subcircuits import (
-    BytecodeSubCircuit, EvmSubCircuit, ExpSubCircuit, PiSubCircuit,
-    PoseidonSubCircuit, StateSubCircuit, TableSubCircuit, TxSubCircuit,
+    BytecodeSubCircuit, EvmSubCircuit, ExpSubCircuit, KeccakSubCircuit,
+    PiSubCircuit, PoseidonSubCircuit, StateSubCircuit, TableSubCircuit,
+    TxSubCircuit,
 )
 
 INNER_DEGREE = 20  # production inner-circuit degree (reference README.md:21)
 
-_TABLE_SUBCIRCUITS = ["copy", "keccak", "sha256", "rlp", "mod_exp", "sig", "ecc", "mpt"]
+_TABLE_SUBCIRCUITS = ["copy", "sha256", "rlp", "mod_exp", "sig", "ecc", "mpt"]
 
 # placeholder-table subcircuits assign a bounded sample region in test-scale
 # domains (full production capacity is the CCC-reported row_usages metadata)
@@ -62,9 +63,14 @@ class ScrollSuperCircuit(Circuit):
     def min_k(self) -> int:
         """Smallest domain exponent that fits this witness (test shrink)."""
         usage = row_usage_of_witness_block(self.wb)
+        wb = self.wb
         rows = max(
             max(min(d.row_number, _TABLE_REGION_CAP) for d in usage.row_usage_details),
-            self.wb.num_steps + 2,
+            # real-table regions are assigned in full, never capped
+            sum(len(c) for c in wb.bytecode_map.values()) + 2,
+            len(wb.rw_rows) + 2,
+            len(wb.keccak_events) + 2,
+            wb.num_steps + 2,
             1200,  # poseidon sponge region
         )
         k = max((rows + 16).bit_length(), 8)
@@ -76,8 +82,11 @@ class ScrollSuperCircuit(Circuit):
         self.byte_table = cs.fixed_column()
         self.pi = PiSubCircuit().configure(cs, self.instance)
         self.tx = TxSubCircuit().configure(cs)
-        self.bytecode = BytecodeSubCircuit().configure(cs, self.byte_table)
-        self.evm = EvmSubCircuit().configure(cs)
+        self.keccak = KeccakSubCircuit().configure(cs)
+        self.bytecode = BytecodeSubCircuit().configure(
+            cs, self.byte_table, self.keccak
+        )
+        self.evm = EvmSubCircuit().configure(cs, self.bytecode)
         self.state = StateSubCircuit().configure(cs)
         self.exp = ExpSubCircuit().configure(cs)
         self.poseidon = PoseidonSubCircuit().configure(cs)
@@ -100,6 +109,7 @@ class ScrollSuperCircuit(Circuit):
         # the copy constraints are what bind instance == witness chunk info
         used["pi"] = self.pi.assign(cs, adv, n, wb, chunk_instance(wb), 0)
         used["tx"] = self.tx.assign(cs, fixed, adv, n, wb, 0)
+        used["keccak"] = self.keccak.assign(cs, fixed, adv, n, wb, 0)
         used["bytecode"] = self.bytecode.assign(cs, fixed, adv, n, wb, 0)
         used["evm"] = self.evm.assign(cs, fixed, adv, n, wb, 0)
         used["state"] = self.state.assign(cs, fixed, adv, n, wb, 0)

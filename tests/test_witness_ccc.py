@@ -21,6 +21,24 @@ from scroll_prover_tpu.witness.capacity import (
 REF_CHUNK = "/root/reference/integration/tests/extra_traces/batch_3/chunk_10"
 
 
+def _synthetic_program(num_logs):
+    """(code_hex, structLogs) that are positionally consistent: the opcode
+    byte at each logged pc IS the logged op (the evm->bytecode lookup is
+    real now)."""
+    ops = ["PUSH1", "SLOAD", "MSTORE", "SHA3", "CALLDATACOPY"] * (num_logs // 5 + 1)
+    code = bytearray()
+    logs = []
+    for op in ops[:num_logs]:
+        pc = len(code)
+        logs.append({"pc": pc, "op": op, "gas": 100000 - pc, "gasCost": 3, "depth": 1})
+        if op == "PUSH1":
+            code += bytes([0x60, 0x01])
+        else:
+            code.append({"SLOAD": 0x54, "MSTORE": 0x52, "SHA3": 0x20,
+                         "CALLDATACOPY": 0x37}[op])
+    return "0x" + code.hex(), logs
+
+
 def synthetic_trace(num_txs=2, num_logs=30):
     txs, ers = [], []
     for i in range(num_txs):
@@ -33,18 +51,12 @@ def synthetic_trace(num_txs=2, num_logs=30):
                 "isCreate": False, "v": "0x1", "r": "0x2", "s": "0x3",
             }
         )
-        logs = [
-            {"pc": p, "op": op, "gas": 100000 - p, "gasCost": 3, "depth": 1}
-            for p, op in zip(
-                range(num_logs),
-                ["PUSH1", "SLOAD", "MSTORE", "SHA3", "CALLDATACOPY"] * (num_logs // 5),
-            )
-        ]
+        code_hex, logs = _synthetic_program(num_logs)
         ers.append(
             {
                 "gas": 21000, "failed": False, "returnValue": "",
                 "from": {"address": "0x" + "11" * 20, "nonce": i},
-                "byteCode": "0x6001600101",
+                "byteCode": code_hex,
                 "structLogs": logs,
                 "callTrace": {
                     "type": "CALL", "from": "0x" + "11" * 20,
