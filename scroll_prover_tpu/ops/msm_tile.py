@@ -44,7 +44,10 @@ FQ = FQ_LIMB
 _MASK16 = np.uint32(0xFFFF)
 _N0INV_Q = np.uint32(FQ.n0inv)
 
-SUB_T = 8  # sublane tile; lane tile is 128 -> 1024 points per grid step
+# sublane tile; lane tile is 128. SUB_T=1 keeps the in-kernel flush
+# reduction at 7 halving adds (the 8x128 variant's 17 unrolled adds pushed
+# the Mosaic compile past 30 minutes)
+SUB_T = 1
 
 
 def _kl_mont_mul_q(p, a, b):
@@ -116,6 +119,40 @@ def _kl_madd(p, b3, X1, Y1, Z1, qx, qy):
     return x3, y3, z3
 
 
+def _kl_padd(p, b3, X1, Y1, Z1, X2, Y2, Z2):
+    """RCB15 algorithm 7 (a=0, complete projective add) — mirrors ec.add
+    with kernel-local limb lists."""
+    mul = lambda a, b: _kl_mont_mul_q(p, a, b)
+    add_ = lambda a, b: _kl_add(p, a, b)
+    sub = lambda a, b: _kl_sub(p, a, b)
+
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t2 = mul(Z1, Z2)
+    t3 = mul(add_(X1, Y1), add_(X2, Y2))
+    t3 = sub(t3, add_(t0, t1))
+    t4 = mul(add_(Y1, Z1), add_(Y2, Z2))
+    t4 = sub(t4, add_(t1, t2))
+    x3 = mul(add_(X1, Z1), add_(X2, Z2))
+    y3 = sub(x3, add_(t0, t2))
+    x3 = add_(t0, t0)
+    t0 = add_(x3, t0)
+    t2 = mul(b3, t2)
+    z3 = add_(t1, t2)
+    t1 = sub(t1, t2)
+    y3 = mul(b3, y3)
+    x3 = mul(t4, y3)
+    t2 = mul(t3, t1)
+    x3 = sub(t2, x3)
+    y3 = mul(y3, t0)
+    t1 = mul(t1, z3)
+    y3 = add_(t1, y3)
+    t0 = mul(t0, t3)
+    z3 = mul(z3, t4)
+    z3 = add_(z3, t0)
+    return x3, y3, z3
+
+
 def _msm_kernel(
     px_ref, py_ref, d_ref, s_ref, c_ref, o_ref, bx, by, bz, *, tiles: int
 ):
@@ -163,23 +200,52 @@ def _msm_kernel(
 
     @pl.when(t == tiles - 1)
     def _flush():
+        # in-kernel lane reduction: (SUB_T, 128) point lanes -> 1 point per
+        # bucket via halving complete adds (the composed-op reduction was
+        # the dominant fixed cost: ~1.8 s per MSM at any size)
+        X = [bx[:, l] for l in range(N_LIMBS)]
+        Y = [by[:, l] for l in range(N_LIMBS)]
+        Z = [bz[:, l] for l in range(N_LIMBS)]
+        w = 128
+        while w > 1:
+            h = w // 2
+            X, Y, Z = _kl_padd(
+                p, b3,
+                [x[:, :, :h] for x in X], [y[:, :, :h] for y in Y],
+                [z[:, :, :h] for z in Z],
+                [x[:, :, h : 2 * h] for x in X],
+                [y[:, :, h : 2 * h] for y in Y],
+                [z[:, :, h : 2 * h] for z in Z],
+            )
+            w = h
+        s = SUB_T
+        while s > 1:
+            h = s // 2
+            X, Y, Z = _kl_padd(
+                p, b3,
+                [x[:, :h] for x in X], [y[:, :h] for y in Y],
+                [z[:, :h] for z in Z],
+                [x[:, h : 2 * h] for x in X], [y[:, h : 2 * h] for y in Y],
+                [z[:, h : 2 * h] for z in Z],
+            )
+            s = h
         for l in range(N_LIMBS):
-            o_ref[0, :, 0, l] = bx[:, l]
-            o_ref[0, :, 1, l] = by[:, l]
-            o_ref[0, :, 2, l] = bz[:, l]
+            o_ref[0, :, 0, l] = X[l][:, 0, 0]
+            o_ref[0, :, 1, l] = Y[l][:, 0, 0]
+            o_ref[0, :, 2, l] = Z[l][:, 0, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _msm_buckets(px, py, digs, signs, interpret: bool = False):
     """px/py: (L, tiles, SUB_T, 128); digs/signs: (W4, tiles, SUB_T, 128).
-    Returns (W4, B4, 3, L, SUB_T, 128) bucket table."""
+    Returns (W4, B4, 3, L) lane-reduced bucket table."""
     L, tiles, st, lanes = px.shape
     consts = jnp.asarray(_consts())
     pt_spec = pl.BlockSpec((L, 1, st, lanes), lambda w, t: (0, t, 0, 0))
     dg_spec = pl.BlockSpec((1, 1, st, lanes), lambda w, t: (w, t, 0, 0))
     out = pl.pallas_call(
         functools.partial(_msm_kernel, tiles=tiles),
-        out_shape=jax.ShapeDtypeStruct((W4, B4, 3, L, st, lanes), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((W4, B4, 3, L), jnp.uint32),
         grid=(W4, tiles),
         in_specs=[
             pt_spec,
@@ -189,7 +255,7 @@ def _msm_buckets(px, py, digs, signs, interpret: bool = False):
             pl.BlockSpec((L, 3), lambda w, t: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, B4, 3, L, st, lanes), lambda w, t: (w, 0, 0, 0, 0, 0)
+            (1, B4, 3, L), lambda w, t: (w, 0, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((B4, L, st, lanes), jnp.uint32),
@@ -254,17 +320,8 @@ def msm_tile(
 
 @jax.jit
 def _reduce_buckets(tbl: jnp.ndarray) -> ec.PointP:
-    """(W4, B4, 3, L, SUB_T, 128) -> one projective point."""
-    lanes = tbl.shape[-2] * tbl.shape[-1]
-    t = tbl.reshape(W4, B4, 3, N_LIMBS, lanes)
-    t = jnp.moveaxis(t, 3, -1)  # (W4, B4, 3, lanes, L)
-    pt = ec.PointP(t[:, :, 0], t[:, :, 1], t[:, :, 2])
-    while pt.x.shape[2] > 1:
-        h = pt.x.shape[2] // 2
-        lo = ec.PointP(pt.x[:, :, :h], pt.y[:, :, :h], pt.z[:, :, :h])
-        hi = ec.PointP(pt.x[:, :, h:], pt.y[:, :, h:], pt.z[:, :, h:])
-        pt = ec.add(lo, hi)
-    buckets = ec.PointP(pt.x[:, :, 0], pt.y[:, :, 0], pt.z[:, :, 0])  # (W4, B4)
+    """(W4, B4, 3, L) lane-reduced buckets -> one projective point."""
+    buckets = ec.PointP(tbl[:, :, 0], tbl[:, :, 1], tbl[:, :, 2])  # (W4, B4)
 
     bsum = ec.PointP(buckets.x[:, 1:], buckets.y[:, 1:], buckets.z[:, 1:])
     suffix = _hs_scan_points(bsum, reverse=True)

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import hashlib
 import os
+
+import jax
 import struct
 
 import jax.numpy as jnp
@@ -244,7 +246,14 @@ def kzg_commit(srs: SRS, coeffs_mont, basis: str = "monomial"):
         return _host_msm(host_pts[:n], scalars)
     base = srs.dev_powers() if basis == "monomial" else srs.dev_lagrange()
     scalars = _to_standard_limbs(coeffs_mont)
-    pt = msm.msm_padded(base[:n], scalars)
+    impl = os.environ.get("SPT_MSM_IMPL", "auto")
+    if impl == "scatter" or (impl == "auto" and jax.default_backend() == "cpu"):
+        # composed-op path (CPU test backend: pallas TPU kernels don't run)
+        pt = msm.msm_padded(base[:n], scalars)
+    else:
+        from ..ops.msm_tile import msm_tile
+
+        pt = msm_tile(base[:n], scalars)
     return ec.decode_point(pt)
 
 

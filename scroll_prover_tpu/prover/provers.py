@@ -396,11 +396,8 @@ class BatchProver:
         pi_bundle_recursion.data, proof_bundle_recursion.data."""
         import os
 
-        from ..utils.env import read_env_var
-        from ..proof_system.transcript import KeccakTranscript
+        from ..evm.full_verifier import gen_full_verifier
         from ..evm.harness import DEPLOYMENT_CODE_FILENAME
-        from ..evm.verifier_contract import gen_verifier_bytecode
-        from ..evm.yul_gen import gen_evm_verifier_yul
         from .proofs import encode_instances
 
         k = layer6.protocol["domain"]["k"]
@@ -409,40 +406,30 @@ class BatchProver:
             fh.write(encode_instances(layer6.instances))
         with open(os.path.join(output_dir, "proof_bundle_recursion.data"), "wb") as fh:
             fh.write(layer6.proof)
-        bytecode = gen_verifier_bytecode(srs.g2, srs.s_g2)
+        # FULL in-bytecode verifier: transcript + GWC fold + pairing all
+        # on-chain-style (round-2 upgrade from the pairing-only shim);
+        # YUL emitted as the auditable source artifact (no solc in env)
+        circ = CompressionCircuit(
+            proof.layers[0].instances, proof.layers[0].proof
+        )
+        _pk, vk = self._kg.get(srs, k, circ, f"verify_{layer6.vk_id}")
+        bytecode, yul = gen_full_verifier(vk, srs, len(layer6.instances))
         with open(os.path.join(output_dir, DEPLOYMENT_CODE_FILENAME), "wb") as fh:
             fh.write(bytecode)
-        if read_env_var("SCROLL_PROVER_DUMP_YUL", True):
-            circ = CompressionCircuit(
-                proof.layers[0].instances, proof.layers[0].proof
-            )
-            key = f"verify_{layer6.vk_id}"
-            _pk, vk = self._kg.get(srs, k, circ, key)
-            with open(os.path.join(output_dir, "evm_verifier.yul"), "w") as fh:
-                fh.write(gen_evm_verifier_yul(vk, srs, len(layer6.instances)))
+        with open(os.path.join(output_dir, "evm_verifier.yul"), "w") as fh:
+            fh.write(yul)
 
     def evm_verify_bundle(self, proof, output_dir: str) -> int | None:
-        """Execute the bundle proof's final pairing check inside the EVM
+        """Execute the bundle proof verification ENTIRELY inside the EVM:
+        the contract re-derives the transcript and multiopen fold from
+        calldata = [instances || proof] — no host verifier in the loop
         (reference flow: EVMVerifier::from_dirs + verify_evm_proof,
-        prove.rs:103)."""
+        prove.rs:103; calldata splice per unit_tests.rs:32)."""
+        from ..evm.full_verifier import proof_calldata
         from ..evm.harness import EVMVerifier
-        from ..proof_system.plonk.verifier import verify as plonk_verify2
-        from ..proof_system.transcript import KeccakTranscript
-        from .compression import CompressionCircuit
 
-        l5, l6 = proof.layers
-        k = l6.protocol["domain"]["k"]
-        srs = self._srs_for(k)
-        circ = CompressionCircuit(l5.instances, l5.proof)
-        _pk, vk = self._kg.get(srs, k, circ, f"verify_{l6.vk_id}")
-        a_pt, b_pt = plonk_verify2(
-            srs, vk, [l6.instances], l6.proof,
-            transcript_cls=KeccakTranscript, return_pairing_inputs=True,
-        )
-        calldata = (
-            a_pt[0].to_bytes(32, "big") + a_pt[1].to_bytes(32, "big")
-            + b_pt[0].to_bytes(32, "big") + b_pt[1].to_bytes(32, "big")
-        )
+        l6 = proof.layers[-1]
+        calldata = proof_calldata(list(l6.instances), l6.proof)
         return EVMVerifier.from_dirs(output_dir).verify_evm_proof(calldata)
 
 
