@@ -20,11 +20,24 @@ test-ccc:
 test-mock-prove:
 	python -m pytest tests/test_super_circuit.py -q
 
-# real-proving tiers (slow; mirror chunk/batch/bundle/e2e test targets)
+# real-proving tiers (slow; mirror chunk/batch/bundle/e2e test targets).
+# The chunk ladder's verifier-circuit layers prove at k~20: run these on
+# the TPU (they are CPU-hostile by design — reference real-prove tiers are
+# similarly "not in CI; need SRS files + hours of CPU", SURVEY.md section 4)
 test-chunk-prove:
 	SPT_E2E=1 python -m pytest tests/test_aggregation.py::test_full_ladder_e2e -q
 
-test-e2e-prove: test-chunk-prove
+test-batch-prove:
+	SPT_E2E=1 python -m pytest tests/test_aggregation.py::test_full_ladder_e2e -q -k e2e
+
+test-bundle-prove:
+	SPT_E2E=1 python -m pytest tests/test_aggregation.py -q -k "e2e or bundle_partitions"
+
+test-e2e-prove: test-bundle-prove
+
+# slow verification tiers that do run on CPU
+test-slow:
+	python -m pytest tests/ -q -m slow
 
 bench:
 	python bench.py

@@ -157,3 +157,44 @@ def test_full_ladder_e2e():
     for f in ("evm_verifier.bin", "evm_verifier.yul", "pi_bundle_recursion.data",
               "proof_bundle_recursion.data"):
         assert os.path.exists(os.path.join(out, f)), f
+
+
+def test_bundle_partitions_header_chaining():
+    """10 batches partitioned into bundles [0..1],[1..3],[3..6],[6..10] with
+    parent-batch-hash chaining validated per bundle (mirror of
+    /root/reference/integration/tests/e2e_tests.rs:91-162 at the header/task
+    level; the real-prove variant is the SPT_E2E tier)."""
+    from scroll_prover_tpu.prover.tasks import BundleProvingTask
+    from scroll_prover_tpu.prover.chunk_info import ChunkInfo
+
+    headers = []
+    parent = b"\x00" * 32
+    for i in range(10):
+        info = ChunkInfo(
+            chain_id=534352,
+            prev_state_root="0x" + f"{i:02x}" * 32,
+            post_state_root="0x" + f"{i + 1:02x}" * 32,
+            withdraw_root="0x" + "aa" * 32,
+            data_hash="0x" + "bb" * 32,
+            is_padding=False,
+            tx_bytes=b"tx-%d" % i,
+        )
+        blob = get_blob_bytes(BatchData.new(1, [info]).get_batch_data_bytes())
+        h = BatchHeader.construct_from_chunks(4, i, 0, 0, parent, 100 + i, [info], blob)
+        assert h.parent_batch_hash == parent
+        headers.append(h)
+        parent = h.batch_hash()
+    assert len(headers) == 10, "expecting 10 batches"
+
+    class _FakeBatchProof:
+        def __init__(self, header):
+            self.inner = type("I", (), {"batch_header": header})()
+
+    for lo, hi in ((0, 1), (1, 3), (3, 6), (6, 10)):
+        task = BundleProvingTask([_FakeBatchProof(h) for h in headers[lo:hi]])
+        hs = [p.inner.batch_header for p in task.batch_proofs]
+        for a, b in zip(hs, hs[1:]):
+            assert b.parent_batch_hash == a.batch_hash(), "bundle chain broken"
+    # a shuffled bundle must break the chain
+    bad = [headers[3], headers[5]]
+    assert bad[1].parent_batch_hash != bad[0].batch_hash()
