@@ -41,21 +41,46 @@ _REVERT_DEST = 4  # PUSH2 <start> JUMP; JUMPDEST; PUSH0 PUSH0 REVERT
 
 
 class Gen:
-    """Straight-line bytecode emitter with a parallel YUL rendering."""
+    """Straight-line bytecode emitter with a parallel YUL rendering.
 
-    def __init__(self):
+    debug=True replaces the shared silent revert target with a tagged one:
+    every check site pushes a unique tag before the JUMPI, and the revert
+    returns the tag as 32-byte revert data (self.tags maps tag -> label)."""
+
+    def __init__(self, debug: bool = False):
         self.a = Asm()
         self.yul: list[str] = []
         self._slot = SLOTS
         self.tlen = 0  # transcript buffer length (static)
+        self.debug = debug
+        self.tags: dict[int, str] = {}
         # preamble: jump over the shared revert target
         self.a.op(0x61, 0x00, 0x00, JUMP)  # PUSH2 start(patched) JUMP
         self.a.op(JUMPDEST)                # offset 4: revert target
-        self.a.op(0x5F, 0x5F, REVERT)      # PUSH0 PUSH0 REVERT
+        if debug:
+            # stack: [tag]; revert(0, 32) with tag stored at mem[0]
+            self.a.op(0x5F, MSTORE)        # mstore(0, tag)
+            self.a.op(0x60, 0x20, 0x5F, REVERT)  # revert(0, 32)
+        else:
+            self.a.op(0x5F, 0x5F, REVERT)  # PUSH0 PUSH0 REVERT
         start = len(self.a.code)
         self.a.code[1:3] = start.to_bytes(2, "big")
         self.a.op(JUMPDEST)
         self.yul.append("object \"plonk_verifier\" { code {")
+
+    def jumpi_revert(self, label: str = ""):
+        """Emit `JUMPI -> revert` consuming the condition on top of stack."""
+        if self.debug:
+            tag = len(self.tags) + 1
+            self.tags[tag] = label
+            self.a.push(tag)   # [cond, tag]
+            self.a.op(SWAP1)   # [tag, cond]
+            self._push(_REVERT_DEST)
+            self.a.op(JUMPI)   # leaves [tag] when not taken
+            self.a.op(POP)
+        else:
+            self._push(_REVERT_DEST)
+            self.a.op(JUMPI)
 
     # -- slots -------------------------------------------------------------
 
@@ -95,8 +120,7 @@ class Gen:
         self.a.op(MLOAD)
         self.a.op(LT)         # mload(s) < bound
         self.a.op(ISZERO)
-        self._push(_REVERT_DEST)
-        self.a.op(JUMPI)
+        self.jumpi_revert(f"require_lt slot {s:#x}")
         self.yul.append(
             f"  if iszero(lt(mload({s:#x}), {bound:#x})) {{ revert(0, 0) }}"
         )
@@ -160,8 +184,7 @@ class Gen:
         self._push(5)
         self.a.op(GAS, STATICCALL)
         self.a.op(ISZERO)
-        self._push(_REVERT_DEST)
-        self.a.op(JUMPI)
+        self.jumpi_revert("modexp staticcall")
         self.yul.append(
             f"  // mstore({out:#x}, modexp(mload({x:#x}), r-2, r))\n"
             f"  mstore(0x00, 32) mstore(0x20, 32) mstore(0x40, 32)\n"
@@ -180,7 +203,10 @@ class Gen:
         return s
 
     def cd_point(self, off: int) -> int:
-        """Read (x, y) from calldata, on-curve check (rejects identity)."""
+        """Read (x, y) from calldata with an on-curve check. The identity
+        encoding (0, 0) is ACCEPTED — prover h-chunk commitments can be the
+        zero polynomial (quotient degree below the n_h worst case), and the
+        EVM ecAdd/ecMul precompiles natively treat (0,0) as identity."""
         p = self.point_slot()
         for i in (0, 32):
             self._push(off + i)
@@ -195,7 +221,7 @@ class Gen:
         return p
 
     def _on_curve(self, p: int):
-        """require y^2 % q == (x^3 + 3) % q (identity (0,0) fails: 0 != 3)."""
+        """require (x,y) == (0,0)  OR  y^2 % q == (x^3 + 3) % q."""
         q = FQ_MOD
         # stack discipline: [yy, q, 3, q, q, x, x] -> mulmod -> ... -> EQ
         self._push(q)
@@ -215,14 +241,20 @@ class Gen:
         self.a.op(MLOAD)   # [yy, q, 3, q, xx, x]
         self.a.op(MULMOD)  # [yy, q, 3, x3]
         self.a.op(ADDMOD)  # [yy, (x3+3)%q]
-        self.a.op(EQ)
-        self.a.op(ISZERO)
-        self._push(_REVERT_DEST)
-        self.a.op(JUMPI)
+        self.a.op(EQ)      # [on_curve]
+        # identity: iszero(x | y)
+        self._push(p)
+        self.a.op(MLOAD)
+        self._push(p + 32)
+        self.a.op(MLOAD)
+        self.a.op(OR, ISZERO)  # [on_curve, is_identity]
+        self.a.op(OR, ISZERO)  # [!(on_curve || identity)]
+        self.jumpi_revert(f"on_curve point {p:#x}")
         x, y = f"mload({p:#x})", f"mload({p + 32:#x})"
         self.yul.append(
-            f"  if iszero(eq(mulmod({y}, {y}, {q:#x}), "
-            f"addmod(mulmod(mulmod({x}, {x}, {q:#x}), {x}, {q:#x}), 3, {q:#x})))"
+            f"  if iszero(or(eq(mulmod({y}, {y}, {q:#x}), "
+            f"addmod(mulmod(mulmod({x}, {x}, {q:#x}), {x}, {q:#x}), 3, {q:#x})), "
+            f"iszero(or({x}, {y}))))"
             " { revert(0, 0) }"
         )
 
@@ -245,8 +277,7 @@ class Gen:
         self._push(addr)
         self.a.op(GAS, STATICCALL)
         self.a.op(ISZERO)
-        self._push(_REVERT_DEST)
-        self.a.op(JUMPI)
+        self.jumpi_revert(f"ec precompile {addr}")
 
     def ec_mul(self, p: int, s: int) -> int:
         """[s]P via precompile 0x07; scalar slot s, point slot p."""
@@ -289,21 +320,24 @@ class Gen:
         return out
 
     def ec_neg(self, p: int) -> int:
-        """(x, q - y); safe because on-curve points never have y == 0."""
+        """(x, (q - y) % q); the mod keeps the identity encoding (0, 0)
+        valid (q - 0 = q would be an out-of-range coordinate)."""
         out = self.point_slot()
         self._push(p)
         self.a.op(MLOAD)
         self._push(out)
         self.a.op(MSTORE)
+        self._push(FQ_MOD)
         self._push(p + 32)
         self.a.op(MLOAD)
         self._push(FQ_MOD)
-        self.a.op(SUB)
+        self.a.op(SUB, MOD)
         self._push(out + 32)
         self.a.op(MSTORE)
         self.yul.append(
             f"  mstore({out:#x}, mload({p:#x})) "
-            f"mstore({out + 32:#x}, sub({FQ_MOD:#x}, mload({p + 32:#x})))"
+            f"mstore({out + 32:#x}, mod(sub({FQ_MOD:#x}, mload({p + 32:#x})), "
+            f"{FQ_MOD:#x}))"
         )
         return out
 
@@ -388,8 +422,7 @@ class Gen:
         self.a.op(MLOAD)
         self.a.op(AND)  # success && result
         self.a.op(ISZERO)
-        self._push(_REVERT_DEST)
-        self.a.op(JUMPI)
+        self.jumpi_revert("final pairing")
         self._push(0)
         self._push(0)
         self.a.op(RETURN)
@@ -404,12 +437,15 @@ class Gen:
 
 
 def gen_full_verifier(
-    vk: VerifyingKey, srs, num_instance: int, has_accumulator: bool = False
+    vk: VerifyingKey, srs, num_instance: int, has_accumulator: bool = False,
+    debug: bool = False, _gen_out: list | None = None,
 ) -> tuple[bytes, str]:
     """(deployment_bytecode, yul_source) for a full in-bytecode verifier of
     proofs under `vk` with the Keccak transcript. Calldata:
     [num_instance x 32B instance words || proof words (BE)]."""
-    g = Gen()
+    g = Gen(debug=debug)
+    if _gen_out is not None:
+        _gen_out.append(g)
     cs = vk.cs
     dom = vk.domain
     n = dom.n

@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..fields.limbs import FQ_LIMB, N_LIMBS, ints_to_limbs
 from . import ec
+from . import field_ops as fo
 from .msm import _signed_digits4, _hs_scan_points, C4, W4, B4
 from .ntt_tile import _kl_add, _kl_cond_sub, _kl_select, _kl_sub, _kl_sub_raw
 
@@ -294,6 +295,59 @@ def msm_tile(
     """points: (n, 2, L) Montgomery affine; scalars: (n, L) standard limbs.
     Returns one projective point. Pads n up to a 1024 multiple with
     zero-scalar copies of point 0 (they land in the discarded bucket 0)."""
+    tbl = _msm_tbl(points_affine_mont, scalar_limbs, interpret)
+    return _reduce_buckets(tbl)
+
+
+def msm_tile_host(
+    points_affine_mont: jnp.ndarray,
+    scalar_limbs: jnp.ndarray,
+    interpret: bool = False,
+):
+    """Like msm_tile but the tiny (W4 x B4) bucket fold runs on HOST ints:
+    the device tail was a ~320-op sequential chain of scalar-shaped kernels
+    (the dominant fixed cost at ~1.3 s/MSM on the tunneled backend), while
+    the host fold is ~1k Jacobian ops (~30 ms). Returns a host affine point
+    or None — the shape kzg_commit wants anyway."""
+    from ..curves.bn254_curve import G1
+    from ..fields.limbs import limbs_to_ints
+
+    tbl = np.asarray(_msm_tbl(points_affine_mont, scalar_limbs, interpret))
+    # decode (W4, B4, 3, L) Montgomery projective limbs -> host ints
+    flat = tbl.reshape(W4 * B4 * 3, N_LIMBS)
+    ints = limbs_to_ints(np.asarray(fo.from_mont(FQ, jnp.asarray(flat))))
+    total = None
+    for w in range(W4 - 1, -1, -1):
+        for _ in range(C4):
+            total = G1.double(total) if total is not None else None
+        # sum_b b * S_b via suffix sums
+        run = None
+        acc = None
+        for b in range(B4 - 1, 0, -1):
+            i = (w * B4 + b) * 3
+            X, Y, Z = ints[i], ints[i + 1], ints[i + 2]
+            pt = _proj_to_affine(X, Y, Z)
+            if pt is not None:
+                run = G1.add(run, pt)
+            if run is not None:
+                acc = G1.add(acc, run)
+        if acc is not None:
+            total = G1.add(total, acc)
+    return total
+
+
+def _proj_to_affine(X: int, Y: int, Z: int):
+    from ..fields.bn254 import FQ_MOD
+
+    if Z % FQ_MOD == 0:
+        return None
+    zi = pow(Z, -1, FQ_MOD)
+    return (X * zi % FQ_MOD, Y * zi % FQ_MOD)
+
+
+def _msm_tbl(points_affine_mont, scalar_limbs, interpret: bool = False):
+    """Shared prep: pad, digit-decompose, run the kernel; returns the
+    (W4, B4, 3, L) device bucket table."""
     n = points_affine_mont.shape[0]
     lane = SUB_T * 128
     npad = (-n) % lane
@@ -307,15 +361,12 @@ def msm_tile(
         )
         n += npad
     tiles = n // lane
-
-    digs, signs = _signed_digits4(scalar_limbs)  # (W4, n)
+    digs, signs = _signed_digits4(scalar_limbs)
     px = points_affine_mont[:, 0, :].T.reshape(N_LIMBS, tiles, SUB_T, 128)
     py = points_affine_mont[:, 1, :].T.reshape(N_LIMBS, tiles, SUB_T, 128)
     d4 = digs.reshape(W4, tiles, SUB_T, 128)
     s4 = signs.astype(jnp.uint32).reshape(W4, tiles, SUB_T, 128)
-
-    tbl = _msm_buckets(px, py, d4, s4, interpret)
-    return _reduce_buckets(tbl)
+    return _msm_buckets(px, py, d4, s4, interpret)
 
 
 @jax.jit

@@ -250,11 +250,10 @@ def kzg_commit(srs: SRS, coeffs_mont, basis: str = "monomial"):
     if impl == "scatter" or (impl == "auto" and jax.default_backend() == "cpu"):
         # composed-op path (CPU test backend: pallas TPU kernels don't run)
         pt = msm.msm_padded(base[:n], scalars)
-    else:
-        from ..ops.msm_tile import msm_tile
+        return ec.decode_point(pt)
+    from ..ops.msm_tile import msm_tile_host
 
-        pt = msm_tile(base[:n], scalars)
-    return ec.decode_point(pt)
+    return msm_tile_host(base[:n], scalars)
 
 
 def kzg_open(srs: SRS, coeffs_mont, z: int):

@@ -319,12 +319,13 @@ class BatchProver:
             srs, pk, circuit, inst,
             transcript_cls=transcript_cls or PoseidonTranscript,
         )
-        return ProofPayload(
+        payload = ProofPayload(
             proof=proof,
             instances=inst[0],
             protocol=protocol_from_vk(vk, len(inst[0])),
             vk_id=hex(vk.transcript_repr()),
         )
+        return payload, vk
 
     def gen_batch_proof(self, task, output_dir: str | None = None):
         from ..aggregator.circuits import BatchCircuit
@@ -341,11 +342,14 @@ class BatchProver:
             for p in task.chunk_proofs
         ]
         log.info("batch %d: layer3 over %d chunks", header.batch_index, len(payloads))
-        layer3 = self._prove_circuit(
+        layer3, vk3 = self._prove_circuit(
             BatchCircuit(payloads, header), f"layer3_n{len(payloads)}"
         )
-        layer4 = self._prove_circuit(
-            CompressionCircuit(layer3.instances, layer3.proof), "layer4"
+        # layer4: REAL in-circuit verification of layer3 (VerifierCircuit),
+        # deferred pairing exposed as the 12-cell accumulator
+        layer4, _vk4 = self._prove_circuit(
+            VerifierCircuit(vk3, layer3.proof, layer3.instances),
+            f"layer4_{hex(vk3.transcript_repr())[:18]}",
         )
         proof = BatchProofV2(
             BatchProofInner(
@@ -372,16 +376,17 @@ class BatchProver:
             for p in task.batch_proofs
         ]
         log.info("bundle: layer5 over %d batches", len(payloads))
-        layer5 = self._prove_circuit(
+        layer5, vk5 = self._prove_circuit(
             RecursionCircuit(
                 payloads, headers[0].parent_batch_hash, headers[-1].batch_hash()
             ),
             f"layer5_n{len(payloads)}",
         )
-        # layer6: EVM-facing compression with the Keccak transcript
-        layer6 = self._prove_circuit(
-            CompressionCircuit(layer5.instances, layer5.proof),
-            "layer6",
+        # layer6: REAL in-circuit verification of layer5; the outer proof
+        # itself uses the EVM-facing Keccak transcript (reference layer6)
+        layer6, _vk6 = self._prove_circuit(
+            VerifierCircuit(vk5, layer5.proof, layer5.instances),
+            f"layer6_{hex(vk5.transcript_repr())[:18]}",
             transcript_cls=KeccakTranscript,
         )
         proof = BundleProof(layers=[layer5, layer6])
@@ -406,14 +411,15 @@ class BatchProver:
             fh.write(encode_instances(layer6.instances))
         with open(os.path.join(output_dir, "proof_bundle_recursion.data"), "wb") as fh:
             fh.write(layer6.proof)
-        # FULL in-bytecode verifier: transcript + GWC fold + pairing all
-        # on-chain-style (round-2 upgrade from the pairing-only shim);
-        # YUL emitted as the auditable source artifact (no solc in env)
-        circ = CompressionCircuit(
-            proof.layers[0].instances, proof.layers[0].proof
+        # FULL in-bytecode verifier: transcript + GWC fold + accumulator
+        # fold + pairing all on-chain-style (round-2 upgrade from the
+        # pairing-only shim); YUL emitted as the auditable source artifact
+        # (no solc in env). The layer6 vk was just registered by keygen.
+        vk = load_vk(layer6.vk_id, self.assets_dir)
+        assert vk is not None, "layer6 vk must be registered"
+        bytecode, yul = gen_full_verifier(
+            vk, srs, len(layer6.instances), has_accumulator=True
         )
-        _pk, vk = self._kg.get(srs, k, circ, f"verify_{layer6.vk_id}")
-        bytecode, yul = gen_full_verifier(vk, srs, len(layer6.instances))
         with open(os.path.join(output_dir, DEPLOYMENT_CODE_FILENAME), "wb") as fh:
             fh.write(bytecode)
         with open(os.path.join(output_dir, "evm_verifier.yul"), "w") as fh:
@@ -445,7 +451,10 @@ class BatchVerifier:
 
     _srs_for = ChunkProver._srs_for
 
-    def _verify_layer(self, payload: ProofPayload, circuit=None, transcript_cls=None) -> bool:
+    def _verify_layer(
+        self, payload: ProofPayload, circuit=None, transcript_cls=None,
+        folded_acc: bool = False,
+    ) -> bool:
         from ..proof_system.transcript import PoseidonTranscript
 
         k = payload.protocol["domain"]["k"]
@@ -459,29 +468,32 @@ class BatchVerifier:
         if hex(vk.transcript_repr()) != payload.vk_id:
             log.error("vk mismatch")
             return False
+        fold = None
+        if folded_acc:
+            try:
+                fold = acc_from_limbs(list(payload.instances[:ACC_CELLS]))
+            except AssertionError:
+                log.error("accumulator cells malformed")
+                return False
         return plonk_verify(
             srs, vk, [payload.instances], payload.proof,
             transcript_cls=transcript_cls or PoseidonTranscript,
+            fold_accumulator=fold,
         )
 
     def verify_batch_proof(self, proof) -> bool:
-        from .compression import CompressionCircuit, compression_digest
-
+        """ONE layer4 SNARK check with its 12-cell accumulator folded into
+        the pairing — layer4 verified layer3 in-circuit, so this
+        transitively attests to the BatchCircuit proof. The chunk SNARKs
+        aggregated under layer3 are still digest-bound (the 45-way
+        in-circuit aggregation is the remaining recursion milestone), so
+        the layer3 SNARK's own digest semantics stay load-bearing."""
         l3, l4 = proof.inner.layers
-        want = [compression_digest(l3.instances, l3.proof)] + list(l3.instances)
-        if list(l4.instances) != want:
-            log.error("layer4 binding mismatch")
+        if list(l4.instances[ACC_CELLS:]) != list(l3.instances):
+            log.error("layer4 pass-through mismatch")
             return False
-        if not self._verify_layer(l4, CompressionCircuit(l3.instances, l3.proof)):
-            return False
-        # INTERIM DEEPENING (round-1 ADVICE high finding, provers.py:403):
-        # until in-circuit KZG accumulation lands, the layer3 SNARK is also
-        # natively verified (vk from registry/assets; fail closed). NOTE:
-        # the chunk SNARKs aggregated under layer3 are still bound only by
-        # the sponge digest — the EVM-only check is NOT sound on its own;
-        # production soundness comes from the recursion milestone.
-        if not self._verify_layer(l3):
-            log.error("layer3 SNARK verification failed")
+        if not self._verify_layer(l4, folded_acc=True):
+            log.error("layer4 verification failed")
             return False
         header = proof.inner.batch_header
         if header is not None:
@@ -497,24 +509,14 @@ class BatchVerifier:
 
     def verify_bundle_proof(self, proof) -> bool:
         from ..proof_system.transcript import KeccakTranscript
-        from .compression import CompressionCircuit, compression_digest
 
         l5, l6 = proof.layers
-        want = [compression_digest(l5.instances, l5.proof)] + list(l5.instances)
-        if list(l6.instances) != want:
-            log.error("layer6 binding mismatch")
+        if list(l6.instances[ACC_CELLS:]) != list(l5.instances):
+            log.error("layer6 pass-through mismatch")
             return False
-        if not self._verify_layer(
-            l6, CompressionCircuit(l5.instances, l5.proof),
-            transcript_cls=KeccakTranscript,
-        ):
-            return False
-        # interim deepening: also natively verify the layer5 recursion SNARK
-        # (see verify_batch_proof note)
-        if not self._verify_layer(l5):
-            log.error("layer5 SNARK verification failed")
-            return False
-        return True
+        return self._verify_layer(
+            l6, transcript_cls=KeccakTranscript, folded_acc=True
+        )
 
 
 # in-process vk registry: keygen publishes vks here so verifiers can check
