@@ -1,84 +1,107 @@
 """Benchmark entry point (run by the driver on real TPU hardware).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Measurement notes (learned on the axon-tunneled backend):
   * `block_until_ready()` does NOT actually block — force completion by
     reading back one element and subtract the measured round-trip latency.
   * Full-array readback rides a ~14 MB/s tunnel; never read back 64 MB.
+  * The tunnel can be DOWN (jax.devices() hangs forever). Every device
+    stage therefore runs in a child process under a hard timeout; on a
+    dead tunnel the parent still prints one honest JSON line.
 
 Headline: 2^20 Fr NTT wall-clock (the inner-circuit domain size, reference
 README.md:21 / BASELINE.md). Implementation: the fused four-step tile
 engine (ops/ntt_tile.py; ~30 ms measured on TPU v5 lite) with the
 limb-major butterfly path (ops/ntt_fast.py; 140 ms) and the scan engine
-(ops/ntt.py; 424 ms) as fallbacks. The reference publishes no numbers;
-vs_baseline uses a ~0.35 s estimate for the rayon radix-2 FFT at 2^20 on a
-server CPU (halo2 fork, SURVEY.md L1). >1 means faster.
+(ops/ntt.py; 424 ms) as fallbacks. Secondary (in "extra"): device MSM
+bucket-kernel throughput at 2^16 points (ops/msm_tile.py). The reference
+publishes no numbers; vs_baseline uses a ~0.35 s estimate for the rayon
+radix-2 FFT at 2^20 on a server CPU (halo2 fork, SURVEY.md L1). >1 means
+faster.
 """
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 RUST_CPU_NTT_2POW20_S = 0.35  # estimated reference anchor (no published number)
+RUST_CPU_MSM_2POW16_S = 0.35  # ~0.19 Mpts/s/thread * 16 threads ≈ 3 Mpts/s est.
 K = 20
+MSM_K = 16
 REPS = 6
+
+# per-stage hard timeouts (s): first-compile on the tunneled backend is
+# 20-40 s/kernel and the tile engine builds several
+STAGE_TIMEOUT = {
+    "probe": 90, "tiled": 420, "fast": 300, "scan": 240, "msm": 420, "cpu": 420,
+}
 
 
 def _force(x) -> None:
     np.asarray(x[0, 0])
 
 
-def _bench_tiled(xm) -> float:
+def _data(k: int):
+    import jax.numpy as jnp
+
+    from scroll_prover_tpu.fields.limbs import FR_LIMB
+    from scroll_prover_tpu.ops import field_ops as fo
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(fo.rand_elements(FR_LIMB, rng, 1 << k))
+    xm = fo.to_mont(FR_LIMB, x)
+    _force(xm)
+    return xm
+
+
+def _rtt(xm) -> float:
     import jax
     import jax.numpy as jnp
 
+    tiny = jax.jit(lambda v: v + jnp.uint32(0))
+    _force(tiny(xm))
+    t0 = time.perf_counter()
+    _force(tiny(xm))
+    return time.perf_counter() - t0
+
+
+def _bench_ntt(dom_factory) -> float:
+    xm = _data(K)
+    dom = dom_factory()
+    _force(dom.ntt(xm))  # compile + warm (one-time)
+    rtt = _rtt(xm)
+    y = xm
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        y = dom.ntt(y)
+    _force(y)
+    return max((time.perf_counter() - t0) - rtt, 1e-9) / REPS
+
+
+def stage_tiled() -> float:
     from scroll_prover_tpu.ops.ntt_tile import TiledDomain
 
-    dom = TiledDomain(K)
-    _force(dom.ntt(xm))  # compile + warm (one-time)
-    tiny = jax.jit(lambda v: v + jnp.uint32(0))
-    _force(tiny(xm))
-    t0 = time.perf_counter()
-    _force(tiny(xm))
-    rtt = time.perf_counter() - t0
-    y = xm
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        y = dom.ntt(y)
-    _force(y)
-    return max((time.perf_counter() - t0) - rtt, 1e-9) / REPS
+    return _bench_ntt(lambda: TiledDomain(K))
 
 
-def _bench_fast(xm) -> float:
-    import jax
-    import jax.numpy as jnp
-
+def stage_fast() -> float:
     from scroll_prover_tpu.ops.ntt_fast import FastDomain
 
-    dom = FastDomain(K)
-    _force(dom.ntt(xm))  # compile + warm (one-time)
-    tiny = jax.jit(lambda v: v + jnp.uint32(0))
-    _force(tiny(xm))
-    t0 = time.perf_counter()
-    _force(tiny(xm))
-    rtt = time.perf_counter() - t0
-    y = xm
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        y = dom.ntt(y)
-    _force(y)
-    return max((time.perf_counter() - t0) - rtt, 1e-9) / REPS
+    return _bench_ntt(lambda: FastDomain(K))
 
 
-def _bench_scan(xm) -> float:
+def stage_scan() -> float:
     import jax
-    import jax.numpy as jnp
 
     from scroll_prover_tpu.ops.ntt import EvaluationDomain
 
+    xm = _data(K)
     dom = EvaluationDomain(K)
 
     @jax.jit
@@ -88,38 +111,124 @@ def _bench_scan(xm) -> float:
         return v
 
     _force(chained(xm))
-    tiny = jax.jit(lambda v: v + jnp.uint32(0))
-    _force(tiny(xm))
-    t0 = time.perf_counter()
-    _force(tiny(xm))
-    rtt = time.perf_counter() - t0
+    rtt = _rtt(xm)
     t0 = time.perf_counter()
     _force(chained(xm))
     return max((time.perf_counter() - t0) - rtt, 1e-9) / 4
 
 
-def main():
+def stage_cpu() -> float:
+    """Honest CPU-backend fallback for a dead TPU tunnel."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    return stage_scan()
+
+
+def stage_probe() -> float:
+    """Is the device backend alive at all? (tunnel can hang forever)"""
+    import jax
     import jax.numpy as jnp
 
-    from scroll_prover_tpu.fields.limbs import FR_LIMB
+    x = jnp.ones((8, 128), jnp.uint32)
+    _force(jax.jit(lambda v: v + jnp.uint32(1))(x))
+    return 1.0
+
+
+def stage_msm() -> float:
+    """One 2^16-point G1 MSM (device bucket kernel + host tail fold)."""
+    import jax.numpy as jnp
+
+    from scroll_prover_tpu.curves.bn254_curve import g1_generator, G1
+    from scroll_prover_tpu.fields.limbs import FR_LIMB, FQ_LIMB, ints_to_limbs
     from scroll_prover_tpu.ops import field_ops as fo
+    from scroll_prover_tpu.ops.msm_tile import msm_tile_host
 
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(fo.rand_elements(FR_LIMB, rng, 1 << K))
-    xm = fo.to_mont(FR_LIMB, x)
-    _force(xm)
+    n = 1 << MSM_K
+    rng = np.random.default_rng(1)
+    # n distinct points: small multiples of G (host; cheap doubling chain)
+    g = g1_generator()
+    pts = []
+    p = g
+    for _ in range(min(n, 1024)):
+        pts.append(p)
+        p = G1.add(p, g)
+    xs = ints_to_limbs(np.array([q[0] for q in pts], dtype=object))
+    ys = ints_to_limbs(np.array([q[1] for q in pts], dtype=object))
+    pa = np.stack([xs, ys], axis=1)  # (1024, 2, L)
+    pa = np.tile(pa, (n // min(n, 1024), 1, 1))
+    points = fo.to_mont(FQ_LIMB, jnp.asarray(pa.reshape(n, 2, -1)))
+    scalars = jnp.asarray(fo.rand_elements(FR_LIMB, rng, n))
+    _force(points)
+    msm_tile_host(points, scalars)  # compile + warm
+    t0 = time.perf_counter()
+    msm_tile_host(points, scalars)  # host fold forces completion
+    return max(time.perf_counter() - t0, 1e-9)
 
-    impl = "pallas-tile"
+
+STAGES = {
+    "probe": stage_probe,
+    "tiled": stage_tiled,
+    "fast": stage_fast,
+    "scan": stage_scan,
+    "msm": stage_msm,
+    "cpu": stage_cpu,
+}
+
+
+def _run_stage(name: str) -> float | None:
+    """Run one stage in a child process under a hard timeout; None on any
+    failure (import error, compile rejection, dead tunnel)."""
     try:
-        dt = _bench_tiled(xm)
-    except Exception:
+        out = subprocess.run(
+            [sys.executable, __file__, "--stage", name],
+            capture_output=True,
+            text=True,
+            timeout=STAGE_TIMEOUT[name],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if out.returncode != 0:
+        return None
+    for line in out.stdout.splitlines()[::-1]:
         try:
-            impl = "pallas"
-            dt = _bench_fast(xm)
-        except Exception:
-            impl = "scan-fallback"
-            dt = _bench_scan(xm)
+            return float(line.strip())
+        except ValueError:
+            continue
+    return None
 
+
+def main():
+    extra = {}
+    impl, dt = None, None
+    if _run_stage("probe") is not None:
+        for name in ("tiled", "fast", "scan"):
+            dt = _run_stage(name)
+            if dt is not None:
+                impl = {"tiled": "pallas-tile", "fast": "pallas", "scan": "scan"}[name]
+                break
+    if dt is None:
+        dt = _run_stage("cpu")
+        impl = "cpu-fallback-tunnel-down"
+    if dt is None:  # nothing runs at all — still emit one line
+        print(
+            json.dumps(
+                {
+                    "metric": f"ntt_fr_2pow{K}_wall_s_unavailable",
+                    "value": -1,
+                    "unit": "s",
+                    "vs_baseline": 0.0,
+                }
+            )
+        )
+        return
+    if impl.startswith(("pallas", "scan")):
+        msm_dt = _run_stage("msm")
+        if msm_dt is not None:
+            extra["msm_g1_2pow16_wall_s"] = round(msm_dt, 6)
+            extra["msm_g1_mpoints_s"] = round((1 << MSM_K) / msm_dt / 1e6, 3)
+            extra["msm_vs_baseline"] = round(RUST_CPU_MSM_2POW16_S / msm_dt, 3)
     print(
         json.dumps(
             {
@@ -127,10 +236,14 @@ def main():
                 "value": round(dt, 6),
                 "unit": "s",
                 "vs_baseline": round(RUST_CPU_NTT_2POW20_S / dt, 3),
+                **({"extra": extra} if extra else {}),
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--stage":
+        print(STAGES[sys.argv[2]]())
+    else:
+        main()

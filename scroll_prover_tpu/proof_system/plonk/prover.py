@@ -132,6 +132,7 @@ def prove(
     instance,
     transcript_cls=PoseidonTranscript,
     seed: bytes | None = None,
+    multiopen: str = "gwc",
     _debug: dict | None = None,
 ) -> bytes:
     # blinding entropy: fresh per proof by default (zero-knowledge); a fixed
@@ -385,6 +386,18 @@ def prove(
 
     _mark("evals written")
     v_ch = tr.squeeze_challenge()
+
+    if multiopen == "shplonk":
+        # --- phase 6 (alt): SHPLONK/BDFG21 multiopen — 2 G1 points ------
+        from .multiopen import query_labels, shplonk_open
+
+        labels = query_labels(qs, m, len(chunks), len(lookups))
+        shplonk_open(
+            srs, queries, labels, v_ch, tr, kzg_commit, _mont_scalar,
+            _encode_mont,
+        )
+        _mark("multiopen done (shplonk)")
+        return tr.finalize()
 
     # --- phase 6: GWC multiopen ------------------------------------------
     points_order: list[int] = []

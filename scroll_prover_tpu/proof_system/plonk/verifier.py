@@ -22,6 +22,29 @@ def verify(
     _debug: dict | None = None,
     return_pairing_inputs: bool = False,
     fold_accumulator=None,
+    multiopen: str = "gwc",
+):
+    """Fail-closed wrapper: malformed proof bytes (bad point encodings,
+    truncated transcript) reject instead of raising. return_pairing_inputs
+    callers (the in-circuit gadget's host twin) keep the exception."""
+    try:
+        return _verify(
+            srs, vk, instance, proof, transcript_cls, _debug,
+            return_pairing_inputs, fold_accumulator, multiopen,
+        )
+    except (AssertionError, ValueError, IndexError):
+        if return_pairing_inputs:
+            raise
+        return False
+
+
+def _verify(
+    srs: SRS, vk: VerifyingKey, instance, proof: bytes,
+    transcript_cls=PoseidonTranscript,
+    _debug: dict | None = None,
+    return_pairing_inputs: bool = False,
+    fold_accumulator=None,
+    multiopen: str = "gwc",
 ):
     """fold_accumulator: optional ((lhs, rhs)) pair of G1 points from an
     accumulator-carrying inner proof's first 12 instance cells; folded into
@@ -226,38 +249,45 @@ def verify(
 
     v_ch = tr.squeeze_challenge()
 
-    points_order = []
-    for _, point, _ in queries:
-        if point not in points_order:
-            points_order.append(point)
-    fs, es = [], []
-    for point in points_order:
-        group = [(c, val) for (c, pt, val) in queries if pt == point]
-        fk = None
-        ek = 0
-        vpow = 1
-        for c, val in group:
-            fk = G1.add(fk, c if vpow == 1 else G1.mul(c, vpow))
-            ek = (ek + vpow * val) % FR_MOD
-            vpow = vpow * v_ch % FR_MOD
-        fs.append(fk)
-        es.append(ek)
-    ws = [tr.read_point() for _ in points_order]
-    u_ch = tr.squeeze_challenge()
-    mu = tr.squeeze_challenge() if fold_accumulator is not None else None
+    if multiopen == "shplonk":
+        from .multiopen import query_labels, shplonk_fold
 
-    g = g1_generator()
-    lhs_acc = None  # sum u^k W_k
-    rhs_acc = None  # sum u^k (z_k W_k + F_k - e_k G)
-    upow = 1
-    for k_i, point in enumerate(points_order):
-        w = ws[k_i]
-        lhs_acc = G1.add(lhs_acc, w if upow == 1 else G1.mul(w, upow))
-        term = G1.add(
-            G1.add(G1.mul(w, point), fs[k_i]), G1.neg(G1.mul(g, es[k_i]))
-        )
-        rhs_acc = G1.add(rhs_acc, term if upow == 1 else G1.mul(term, upow))
-        upow = upow * u_ch % FR_MOD
+        labels = query_labels(qs, m, len(chunks), len(cs.lookups))
+        lhs_acc, rhs_acc, _u = shplonk_fold(queries, labels, v_ch, tr)
+        mu = tr.squeeze_challenge() if fold_accumulator is not None else None
+    else:
+        points_order = []
+        for _, point, _ in queries:
+            if point not in points_order:
+                points_order.append(point)
+        fs, es = [], []
+        for point in points_order:
+            group = [(c, val) for (c, pt, val) in queries if pt == point]
+            fk = None
+            ek = 0
+            vpow = 1
+            for c, val in group:
+                fk = G1.add(fk, c if vpow == 1 else G1.mul(c, vpow))
+                ek = (ek + vpow * val) % FR_MOD
+                vpow = vpow * v_ch % FR_MOD
+            fs.append(fk)
+            es.append(ek)
+        ws = [tr.read_point() for _ in points_order]
+        u_ch = tr.squeeze_challenge()
+        mu = tr.squeeze_challenge() if fold_accumulator is not None else None
+
+        g = g1_generator()
+        lhs_acc = None  # sum u^k W_k
+        rhs_acc = None  # sum u^k (z_k W_k + F_k - e_k G)
+        upow = 1
+        for k_i, point in enumerate(points_order):
+            w = ws[k_i]
+            lhs_acc = G1.add(lhs_acc, w if upow == 1 else G1.mul(w, upow))
+            term = G1.add(
+                G1.add(G1.mul(w, point), fs[k_i]), G1.neg(G1.mul(g, es[k_i]))
+            )
+            rhs_acc = G1.add(rhs_acc, term if upow == 1 else G1.mul(term, upow))
+            upow = upow * u_ch % FR_MOD
 
     if fold_accumulator is not None:
         lhs_in, rhs_in = fold_accumulator

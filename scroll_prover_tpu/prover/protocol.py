@@ -16,7 +16,9 @@ from ..fields.bn254 import FR_MOD
 from ..proof_system.plonk.keygen import VerifyingKey
 
 
-def protocol_from_vk(vk: VerifyingKey, num_instance: int) -> dict:
+def protocol_from_vk(
+    vk: VerifyingKey, num_instance: int, multiopen: str = "gwc"
+) -> dict:
     dom = vk.domain
     pre = []
     for c in vk.fixed_commitments + vk.sigma_commitments:
@@ -37,6 +39,8 @@ def protocol_from_vk(vk: VerifyingKey, num_instance: int) -> dict:
         "num_lookups": len(vk.cs.lookups),
         "transcript_initial_state": hex(vk.transcript_repr()),
         "accumulator_indices": [],
+        # GWC19 | SHPLONK/BDFG21 (reference snark-verifier PolynomialCommitmentScheme)
+        "multiopen": multiopen,
     }
 
 

@@ -479,6 +479,7 @@ class BatchVerifier:
             srs, vk, [payload.instances], payload.proof,
             transcript_cls=transcript_cls or PoseidonTranscript,
             fold_accumulator=fold,
+            multiopen=payload.protocol.get("multiopen", "gwc"),
         )
 
     def verify_batch_proof(self, proof) -> bool:
