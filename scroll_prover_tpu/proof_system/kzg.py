@@ -80,22 +80,17 @@ class SRS:
 
     def downsize(self, k: int) -> "SRS":
         """Smaller-degree view: truncate monomial powers; Lagrange basis is
-        recomputed by a change of basis (iNTT over points) — host-side,
-        currently via tau-free partial sums only for generated SRS sizes.
-        Shares g2/s_g2 (the invariant integration.rs:12-22 asserts)."""
+        rebuilt by a device group-iNTT over the truncated powers —
+        O(n log n) point ops (ops/group_ntt.py), replacing round-1's n host
+        MSMs. Shares g2/s_g2 (the invariant integration.rs:12-22 asserts)."""
         assert k <= self.k
         if k == self.k:
             return self
+        from ..ops.group_ntt import group_intt_points
+
         n = 1 << k
         # group iNTT: lag[i] = (1/n) sum_j omega^{-ij} * powers[j]
-        omega_inv = pow(
-            pow(FR_ROOT_OF_UNITY, 1 << (FR_TWO_ADICITY - k), FR_MOD), -1, FR_MOD
-        )
-        ninv = pow(n, -1, FR_MOD)
-        lag = []
-        for i in range(n):
-            sc = [pow(omega_inv, i * j, FR_MOD) * ninv % FR_MOD for j in range(n)]
-            lag.append(_host_msm(self.g1_powers[:n], sc))
+        lag = group_intt_points(self.g1_powers[:n], k)
         return SRS(k, self.g1_powers[:n], lag, self.g2, self.s_g2)
 
     def save(self, path: str):

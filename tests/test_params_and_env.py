@@ -29,6 +29,15 @@ def test_downsize_preserves_g2_and_truncates(tmp_path):
     assert acc_l == small.g1_powers[0]
 
 
+def test_downsize_group_intt_exact():
+    """The device group-iNTT Lagrange rebuild (ops/group_ntt.py) is
+    bit-exact vs directly generating the smaller SRS (same tau)."""
+    big = kzg.SRS.generate(7)
+    small = big.downsize(5)
+    ref = kzg.SRS.generate(5)
+    assert small.g1_lagrange == ref.g1_lagrange
+
+
 def test_load_params_roundtrip(tmp_path):
     p1 = load_params(str(tmp_path), 5)
     assert os.path.exists(tmp_path / "params5")
