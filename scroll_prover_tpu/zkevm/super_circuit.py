@@ -20,14 +20,14 @@ from ..proof_system.plonk.cs import Circuit, ConstraintSystem, empty_assignment
 from ..witness.block import WitnessBlock
 from ..witness.capacity import row_usage_of_witness_block
 from .subcircuits import (
-    BytecodeSubCircuit, EvmSubCircuit, ExpSubCircuit, KeccakSubCircuit,
-    PiSubCircuit, PoseidonSubCircuit, StateSubCircuit, TableSubCircuit,
-    TxSubCircuit,
+    BytecodeSubCircuit, CopySubCircuit, EvmSubCircuit, ExpSubCircuit,
+    KeccakSubCircuit, PiSubCircuit, PoseidonSubCircuit, StateSubCircuit,
+    TableSubCircuit, TxSubCircuit,
 )
 
 INNER_DEGREE = 20  # production inner-circuit degree (reference README.md:21)
 
-_TABLE_SUBCIRCUITS = ["copy", "sha256", "rlp", "mod_exp", "sig", "ecc", "mpt"]
+_TABLE_SUBCIRCUITS = ["sha256", "rlp", "mod_exp", "sig", "ecc", "mpt"]
 
 # placeholder-table subcircuits assign a bounded sample region in test-scale
 # domains (full production capacity is the CCC-reported row_usages metadata)
@@ -68,6 +68,7 @@ class ScrollSuperCircuit(Circuit):
             max(min(d.row_number, _TABLE_REGION_CAP) for d in usage.row_usage_details),
             # real-table regions are assigned in full, never capped
             sum(len(c) for c in wb.bytecode_map.values()) + 2,
+            CopySubCircuit().rows_for(wb) + 2,
             len(wb.rw_rows) + 2,
             len(wb.keccak_events) + 2,
             wb.num_steps + 2,
@@ -87,10 +88,13 @@ class ScrollSuperCircuit(Circuit):
             cs, self.byte_table, self.keccak
         )
         self.evm = EvmSubCircuit().configure(cs, self.bytecode)
+        self.copy = CopySubCircuit().configure(
+            cs, self.byte_table, self.bytecode, self.keccak, self.tx
+        )
         self.state = StateSubCircuit().configure(cs)
         self.exp = ExpSubCircuit().configure(cs)
         self.poseidon = PoseidonSubCircuit().configure(cs)
-        # the 8 committed-table subcircuits share one physical table with a
+        # the 6 committed-table subcircuits share one physical table with a
         # which-subcircuit id column (keeps the advice count — and hence
         # proof size and compression-layer domains — small)
         self.shared_table = TableSubCircuit("tables", width=2).configure(cs)
@@ -112,6 +116,7 @@ class ScrollSuperCircuit(Circuit):
         used["keccak"] = self.keccak.assign(cs, fixed, adv, n, wb, 0)
         used["bytecode"] = self.bytecode.assign(cs, fixed, adv, n, wb, 0)
         used["evm"] = self.evm.assign(cs, fixed, adv, n, wb, 0)
+        used["copy"] = self.copy.assign(cs, fixed, adv, n, wb, 0)
         used["state"] = self.state.assign(cs, fixed, adv, n, wb, 0)
         used["exp"] = self.exp.assign(cs, fixed, adv, n, wb, 0)
         used["poseidon"] = self.poseidon.assign(cs, fixed, adv, n, wb, 0)

@@ -112,6 +112,41 @@ def test_stale_state_read_rejected(mock, wb):
         vlo_col[target] = old
 
 
+def test_tampered_copied_byte_rejected(mock):
+    circ, mp = mock
+    # flip a transported byte on a CODE-sourced copy row: the copy->bytecode
+    # lookup must fail (the copy circuit moves the REAL code bytes)
+    q_col = mp.fixed[circ.copy.q_code.index]
+    byte_col = mp.advice[circ.copy.byte.index]
+    target = next(r for r in range(mp.n) if q_col[r] == 1)
+    old = byte_col[target]
+    byte_col[target] = (int(old) + 1) % 256
+    try:
+        failures = mp.verify()
+        assert failures, "tampered copied byte must be rejected"
+        assert any("copy" in str(f) for f in failures)
+    finally:
+        byte_col[target] = old
+
+
+def test_copy_calldata_length_binding(mock):
+    circ, mp = mock
+    # a calldata copy event's declared length must match the tx table row
+    q_col = mp.fixed[circ.copy.q_first_cd.index]
+    len_col = mp.advice[circ.copy.len.index]
+    target = next((r for r in range(mp.n) if q_col[r] == 1), None)
+    if target is None:
+        pytest.skip("fixture blocks carry no nonempty calldata")
+    old = len_col[target]
+    len_col[target] = int(old) + 1
+    try:
+        failures = mp.verify()
+        assert failures, "calldata length mismatch must be rejected"
+        assert any("copy/tx_len" in str(f) or "lookup" in str(f) for f in failures)
+    finally:
+        len_col[target] = old
+
+
 def test_tampered_keccak_digest_rejected(mock):
     circ, mp = mock
     # flipping a keccak-table digest breaks the bytecode->keccak lookup
