@@ -14,7 +14,10 @@
 //   empty subtree hash = 0
 //   leaf hash          = poseidon_hash2(key, value, domain=1)
 //   internal hash      = poseidon_hash2(left, right, domain=0)
-//   path bits          = little-endian bits of the key, DEPTH levels
+//   path bits          = little-endian bits of the key, max DEPTH levels,
+//                        path-compressed: a subtree holding exactly one
+//                        leaf hashes to that leaf directly (Scroll-style
+//                        early termination)
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
@@ -185,8 +188,8 @@ static Fr subtree_hash(
     std::vector<std::pair<Fr, Fr>>& kv, int lo, int hi, int level) {
   Fr zero = {{0, 0, 0, 0}};
   if (lo >= hi) return zero;
-  if (level == DEPTH) {
-    // exactly one leaf can live here (keys are DEPTH bits)
+  if (hi - lo == 1 || level == DEPTH) {
+    // path-compressed: a single-leaf subtree hashes to the leaf itself
     Fr one = {{1, 0, 0, 0}};
     return hash2(kv[lo].first, kv[lo].second, one);
   }
@@ -195,8 +198,6 @@ static Fr subtree_hash(
   while (mid < hi && key_bit(kv[mid].first, level) == 0) ++mid;
   Fr l = subtree_hash(kv, lo, mid, level + 1);
   Fr r = subtree_hash(kv, mid, hi, level + 1);
-  if (!memcmp(&l, &zero, sizeof(Fr)) && !memcmp(&r, &zero, sizeof(Fr)))
-    return zero;
   return hash2(l, r, zero);
 }
 
@@ -302,7 +303,10 @@ int spt_zktrie_prove(int h, const uint8_t* key, uint8_t* out_siblings,
   });
   int lo = 0, hi = (int)kv.size();
   int n = 0;
-  for (int level = 0; level < DEPTH && n < max_levels; ++level) {
+  // descend only while the key's subtree still holds >= 2 leaves
+  // (path-compressed placement: the leaf sits at that depth)
+  for (int level = 0; level < DEPTH && n < max_levels && hi - lo >= 2;
+       ++level) {
     int mid = lo;
     while (mid < hi && key_bit(kv[mid].first, level) == 0) ++mid;
     int bit = key_bit(k, level);

@@ -4,7 +4,12 @@ Trie spec (both implementations, cross-checked in tests):
   empty subtree = 0
   leaf hash     = poseidon(key, value, domain=1)
   internal node = poseidon(left, right, domain=0)
-  path          = little-endian key bits, DEPTH=64 levels
+  path          = little-endian key bits, max DEPTH=64 levels,
+                  PATH-COMPRESSED: a subtree holding exactly one leaf
+                  hashes to that leaf directly (Scroll-zktrie-style early
+                  termination), so proof length = O(log n_leaves) and the
+                  in-circuit MPT verifier pays per-level Poseidon cost
+                  only down to the leaf's actual depth
 """
 from __future__ import annotations
 
@@ -131,41 +136,42 @@ class PyZkTrie:
     def _subtree(self, kv: list[tuple[int, int]], level: int) -> int:
         if not kv:
             return 0
-        if level == DEPTH:
+        if len(kv) == 1 or level == DEPTH:
             k, v = kv[0]
             return poseidon_fr.hash2(k, v, domain=1)
         zeros = [p for p in kv if not (p[0] >> level) & 1]
         ones = [p for p in kv if (p[0] >> level) & 1]
         l = self._subtree(zeros, level + 1)
         r = self._subtree(ones, level + 1)
-        if l == 0 and r == 0:
-            return 0
         return poseidon_fr.hash2(l, r, domain=0)
 
     def root(self) -> int:
         return self._subtree(sorted(self.leaves.items()), 0)
 
     def prove(self, key: int) -> list[int]:
+        """Siblings along the key's path, root-side first; the path stops
+        at the leaf's compressed depth (the first level where the key's
+        subtree holds <= 1 leaf)."""
         key %= FR_MOD
         kv = sorted(self.leaves.items())
         out = []
-        for level in range(DEPTH):
+        level = 0
+        while len(kv) >= 2 and level < DEPTH:
             bit = (key >> level) & 1
             zeros = [p for p in kv if not (p[0] >> level) & 1]
             ones = [p for p in kv if (p[0] >> level) & 1]
-            sib = self._subtree(zeros if bit else ones, level + 1)
-            out.append(sib)
+            out.append(self._subtree(zeros if bit else ones, level + 1))
             kv = ones if bit else zeros
+            level += 1
         return out
 
 
 def verify_merkle_proof(root: int, key: int, value: int, siblings: list[int]) -> bool:
-    """Recompute the root from a leaf + sibling path (root-side first)."""
+    """Recompute the root from a leaf + sibling path (root-side first);
+    the leaf sits at depth len(siblings) (path-compressed placement)."""
     h = poseidon_fr.hash2(key % FR_MOD, value % FR_MOD, domain=1)
     for level in range(len(siblings) - 1, -1, -1):
         bit = (key >> level) & 1
         sib = siblings[level]
-        if h == 0 and sib == 0:
-            continue
         h = poseidon_fr.hash2(sib, h, domain=0) if bit else poseidon_fr.hash2(h, sib, domain=0)
     return h == root

@@ -15,7 +15,10 @@ Constraint depth by subcircuit in this round:
   * copy      — REAL: per-byte rows with idx/id/len gates; CODE-sourced
     rows looked up in the bytecode table, event headers bound to the
     keccak (digest) and tx (calldata length) tables
-  * keccak/sha256/rlp/mod_exp/sig/ecc/mpt — table form: witness rows
+  * mpt       — REAL: storage inclusion proofs re-derived in-circuit
+    (key/value-hash/leaf Poseidon permutations + sibling chain to a
+    shared root), headers bound to the rw table
+  * keccak/sha256/rlp/mod_exp/sig/ecc — table form: witness rows
     committed with tag/selector structure; semantic gates land in later
     rounds (reference scope is ~150k LoC of circuits, SURVEY.md section 2.2)
 """
@@ -420,6 +423,7 @@ class StateSubCircuit:
 
     def configure(self, cs: ConstraintSystem):
         self.sel = cs.selector()  # rows 1.. of the region (prev row exists)
+        self.q = cs.fixed_column()  # every rw row (table-side selector)
         self.rwc = cs.advice_column()
         self.tag = cs.advice_column()
         self.addr = cs.advice_column()
@@ -463,11 +467,25 @@ class StateSubCircuit:
         )
         return self
 
+    def table_exprs(self):
+        """(tag, addr, key_hi, key_lo, v_hi, v_lo) rows for cross-table
+        lookups (mpt value binding)."""
+        q = self.q.query()
+        return [
+            q * self.tag.query(),
+            q * self.addr.query(),
+            q * self.key_hi.query(),
+            q * self.key_lo.query(),
+            q * self.v_hi.query(),
+            q * self.v_lo.query(),
+        ]
+
     def assign(self, cs, fixed, adv, n, wb: WitnessBlock, row0: int) -> int:
         rows = sorted(wb.rw_rows, key=lambda r: (r.tag, r.addr, r.key, r.rwc))
         prev = None
         r = row0
         for row in rows:
+            fixed[self.q.index][r] = 1
             adv[self.rwc.index][r] = row.rwc
             adv[self.tag.index][r] = row.tag
             adv[self.addr.index][r] = row.addr
@@ -543,6 +561,175 @@ class ExpSubCircuit:
         return r - row0
 
 
+class MptSubCircuit:
+    """Storage-MPT inclusion proofs, fully constrained (reference scope:
+    halo2-mpt-circuits, SURVEY.md section 2.2; VERDICT component row
+    'halo2-mpt-circuits: no').
+
+    For each event (witness/mpt.py), the circuit re-derives IN-CIRCUIT via
+    the constrained Poseidon permutation (assign_perm):
+        key        = P(addr, P(slot_hi, slot_lo, 2), 2)
+        value_hash = P(v_hi, v_lo, 3)
+        leaf       = P(key, value_hash, 1)
+    then walks the path-compressed sibling chain (one permutation per
+    level, left/right selected by a boolean witness bit) up to the root,
+    and copy-constrains every event's root to the first event's — all
+    verified slots live in ONE tree. The (addr, slot, value) header is
+    looked up in the rw/state table, binding the proven value to a real
+    storage access. Inclusion is sound without binding path bits to the
+    key (any valid hash chain to the root proves membership); non-
+    inclusion/update proofs (which need the key-to-path binding and a
+    64-bit decomposition) are the designated next deepening, as is
+    exposing the root in the public input."""
+
+    def configure(self, cs: ConstraintSystem, state: StateSubCircuit,
+                  poseidon: "PoseidonSubCircuit"):
+        self.pos = poseidon
+        self.q = cs.fixed_column()  # every path row
+        self.sel = cs.selector()  # next row continues the same event
+        self.q_hdr = cs.fixed_column()  # event header rows
+        self.bit = cs.advice_column()
+        self.sib = cs.advice_column()
+        self.h_in = cs.advice_column()
+        self.h_out = cs.advice_column()
+        self.left = cs.advice_column()
+        self.right = cs.advice_column()
+        self.addr = cs.advice_column()
+        self.slot_hi = cs.advice_column()
+        self.slot_lo = cs.advice_column()
+        self.v_hi = cs.advice_column()
+        self.v_lo = cs.advice_column()
+        for col in (
+            self.sib, self.h_in, self.h_out, self.left, self.right,
+            self.addr, self.slot_hi, self.slot_lo, self.v_hi, self.v_lo,
+            poseidon.s[0], poseidon.s[1],
+        ):
+            cs.enable_permutation(col)
+        q = self.q.query()
+        b = self.bit.query()
+        cs.gate("mpt/bit_bool", q * b * (b - 1))
+        # left/right child selection: bit=0 -> (h, sib), bit=1 -> (sib, h)
+        cs.gate(
+            "mpt/left_sel",
+            q * (self.left.query() - self.h_in.query()
+                 - b * (self.sib.query() - self.h_in.query())),
+        )
+        cs.gate(
+            "mpt/right_sel",
+            q * (self.right.query() - self.sib.query()
+                 - b * (self.h_in.query() - self.sib.query())),
+        )
+        cs.gate(
+            "mpt/chain",
+            self.sel.query() * (self.h_in.query(1) - self.h_out.query()),
+        )
+        from ..witness.block import TAG_STORAGE
+
+        qh = self.q_hdr.query()
+        cs.lookup(
+            "mpt/state",
+            [
+                qh * TAG_STORAGE,
+                qh * self.addr.query(),
+                qh * self.slot_hi.query(),
+                qh * self.slot_lo.query(),
+                qh * self.v_hi.query(),
+                qh * self.v_lo.query(),
+            ],
+            state.table_exprs(),
+        )
+        return self
+
+    def assign(self, cs, fixed, adv, n, wb: WitnessBlock, row0: int,
+               pos_row0: int, cap: int | None = None):
+        """Returns (mpt_rows, poseidon_rows_appended). Path rows start at
+        row0 in this subcircuit's columns; permutations are appended to
+        the poseidon region starting at pos_row0."""
+        from ..witness.mpt import DOM_KEY, DOM_VALUE, storage_mpt_witness
+
+        _root, events = storage_mpt_witness(wb, cap=cap)
+        pos = self.pos
+        r = row0
+        pr = pos_row0
+        root_anchor = None  # (col, row) of the first event's final hash
+        for ev in events:
+            v_hi, v_lo = ev.value >> 128, ev.value & ((1 << 128) - 1)
+            s_hi, s_lo = ev.slot >> 128, ev.slot & ((1 << 128) - 1)
+            hdr = r  # header cells live on the first path row (or a
+            # dedicated row for depth-0 proofs)
+            fixed[self.q_hdr.index][hdr] = 1
+            adv[self.addr.index][hdr] = ev.addr
+            adv[self.slot_hi.index][hdr] = s_hi
+            adv[self.slot_lo.index][hdr] = s_lo
+            adv[self.v_hi.index][hdr] = v_hi
+            adv[self.v_lo.index][hdr] = v_lo
+
+            def perm(a, b, dom, a_cell, b_cell):
+                nonlocal pr
+                rows, first, last, out = pos.assign_perm(
+                    cs, fixed, adv, n, a, b, dom, pr
+                )
+                pr += rows
+                cs.copy(pos.s[0], first, *a_cell)
+                cs.copy(pos.s[1], first, *b_cell)
+                return (pos.s[0], last), out
+
+            k1_cell, k1 = perm(
+                s_hi, s_lo, DOM_KEY,
+                (self.slot_hi, hdr), (self.slot_lo, hdr),
+            )
+            k2_cell, key = perm(ev.addr, k1, DOM_KEY, (self.addr, hdr), k1_cell)
+            assert key == ev.key
+            vh_cell, vh = perm(
+                v_hi, v_lo, DOM_VALUE, (self.v_hi, hdr), (self.v_lo, hdr)
+            )
+            assert vh == ev.value_hash
+            leaf_cell, h = perm(key, vh, 1, k2_cell, vh_cell)
+            final_cell = leaf_cell
+            d = len(ev.siblings)
+            if d == 0:
+                # depth-0 proof: the leaf IS the root; keep the header row
+                r += 1
+            for i in range(d):
+                level = d - 1 - i
+                sib = ev.siblings[level]
+                bit = (ev.key >> level) & 1
+                left, right = (sib, h) if bit else (h, sib)
+                adv[self.bit.index][r] = bit
+                adv[self.sib.index][r] = sib
+                adv[self.h_in.index][r] = h
+                adv[self.left.index][r] = left
+                adv[self.right.index][r] = right
+                fixed[self.q.index][r] = 1
+                cs.copy(self.h_in, r, *final_cell)
+                final_cell, h = perm(
+                    left, right, 0, (self.left, r), (self.right, r)
+                )
+                adv[self.h_out.index][r] = h
+                cs.copy(self.h_out, r, *final_cell)
+                final_cell = (self.h_out, r)
+                if i + 1 < d:
+                    fixed[self.sel.index][r] = 1
+                r += 1
+            if root_anchor is None:
+                root_anchor = final_cell
+            else:
+                cs.copy(*final_cell, *root_anchor)
+        return r - row0, pr - pos_row0
+
+    def rows_for(self, wb: WitnessBlock, cap: int | None = None):
+        """(mpt_rows, poseidon_rows) this witness will occupy."""
+        from ..witness.mpt import storage_mpt_witness
+
+        _root, events = storage_mpt_witness(wb, cap=cap)
+        mpt_rows = sum(max(len(ev.siblings), 1) for ev in events)
+        pos_rows = sum(
+            (4 + len(ev.siblings)) * PoseidonSubCircuit.PERM_ROWS
+            for ev in events
+        )
+        return mpt_rows, pos_rows
+
+
 class PoseidonSubCircuit:
     """Poseidon sponge chain, fully constrained.
 
@@ -613,7 +800,63 @@ class PoseidonSubCircuit:
         # init: zero starting state
         for j in range(3):
             cs.gate(f"poseidon/init_{j}", self.sel_init.query() * self.s[j].query())
+        # raw-permutation entry: the first round row's capacity element is
+        # pinned to the fixed domain tag (zktrie hash2 shape: permute(a, b,
+        # domain)); a/b are bound by the caller with copy constraints
+        self.sel_dom = cs.selector()
+        self.dom = cs.fixed_column()
+        cs.gate(
+            "poseidon/dom",
+            self.sel_dom.query() * (self.s[2].query() - self.dom.query()),
+        )
         return self
+
+    def _perm_body(self, fixed, adv, s, r):
+        """Write the 65 constrained round rows for one permutation whose
+        input state is `s` (written at row r); returns (state, next_row).
+        The caller writes the output state at next_row."""
+        h = poseidon_fr
+        half = h.r_f // 2
+        rnd = 0
+        for phase, count in ((0, half), (1, h.r_p), (0, half)):
+            for _k in range(count):
+                rcs = h.rc[rnd]
+                for j in range(3):
+                    adv[self.s[j].index][r] = s[j]
+                    fixed[self.rc[j].index][r] = rcs[j]
+                sbox_in = [(s[j] + rcs[j]) % FR_MOD for j in range(3)]
+                for j in (range(3) if phase == 0 else (0,)):
+                    x2 = sbox_in[j] * sbox_in[j] % FR_MOD
+                    adv[self.x2[j].index][r] = x2
+                    adv[self.x4[j].index][r] = x2 * x2 % FR_MOD
+                if phase == 0:
+                    fixed[self.sel_full.index][r] = 1
+                    sboxed = [pow(x, 5, FR_MOD) for x in sbox_in]
+                else:
+                    fixed[self.sel_part.index][r] = 1
+                    sboxed = [pow(sbox_in[0], 5, FR_MOD), sbox_in[1], sbox_in[2]]
+                s = [
+                    sum(h.mds[i][j] * sboxed[j] for j in range(3)) % FR_MOD
+                    for i in range(3)
+                ]
+                rnd += 1
+                r += 1
+        return s, r
+
+    PERM_ROWS = 66  # 65 round rows + 1 output row
+
+    def assign_perm(self, cs, fixed, adv, n, a, b, dom, row0):
+        """One fully-constrained permutation of (a, b, dom): the domain is
+        pinned by the sel_dom gate; a/b live in s0/s1 of the FIRST row
+        (copy-constrain them to the caller's cells) and the output in s0
+        of the LAST row. Returns (rows_used, first_row, last_row, out0)."""
+        s = [a % FR_MOD, b % FR_MOD, dom % FR_MOD]
+        fixed[self.dom.index][row0] = dom % FR_MOD
+        fixed[self.sel_dom.index][row0] = 1
+        s, r = self._perm_body(fixed, adv, s, row0)
+        for j in range(3):
+            adv[self.s[j].index][r] = s[j]
+        return r + 1 - row0, row0, r, s[0]
 
     def assign_sponge(self, cs, fixed, adv, n, inputs: list[int], row0: int):
         """Absorb `inputs` (rate 2) from the zero state; returns
@@ -624,7 +867,6 @@ class PoseidonSubCircuit:
             msg = msg + [0]
         r = row0
         s = [0, 0, 0]
-        half = h.r_f // 2
         fixed[self.sel_init.index][r] = 1
         for ci in range(0, len(msg), 2):
             e0, e1 = msg[ci], msg[ci + 1]
@@ -637,30 +879,7 @@ class PoseidonSubCircuit:
             r += 1
             s = [(s[0] + e0) % FR_MOD, (s[1] + e1) % FR_MOD, s[2]]
             # permutation rows
-            rnd = 0
-            for phase, count in ((0, half), (1, h.r_p), (0, half)):
-                for _k in range(count):
-                    rcs = h.rc[rnd]
-                    for j in range(3):
-                        adv[self.s[j].index][r] = s[j]
-                        fixed[self.rc[j].index][r] = rcs[j]
-                    sbox_in = [(s[j] + rcs[j]) % FR_MOD for j in range(3)]
-                    for j in (range(3) if phase == 0 else (0,)):
-                        x2 = sbox_in[j] * sbox_in[j] % FR_MOD
-                        adv[self.x2[j].index][r] = x2
-                        adv[self.x4[j].index][r] = x2 * x2 % FR_MOD
-                    if phase == 0:
-                        fixed[self.sel_full.index][r] = 1
-                        sboxed = [pow(x, 5, FR_MOD) for x in sbox_in]
-                    else:
-                        fixed[self.sel_part.index][r] = 1
-                        sboxed = [pow(sbox_in[0], 5, FR_MOD), sbox_in[1], sbox_in[2]]
-                    s = [
-                        sum(h.mds[i][j] * sboxed[j] for j in range(3)) % FR_MOD
-                        for i in range(3)
-                    ]
-                    rnd += 1
-                    r += 1
+            s, r = self._perm_body(fixed, adv, s, r)
             # output row (absorb row of next chunk, or digest row)
             for j in range(3):
                 adv[self.s[j].index][r] = s[j]

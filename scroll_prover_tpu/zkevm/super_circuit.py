@@ -19,15 +19,25 @@ from ..fields.bn254 import FR_MOD
 from ..proof_system.plonk.cs import Circuit, ConstraintSystem, empty_assignment
 from ..witness.block import WitnessBlock
 from ..witness.capacity import row_usage_of_witness_block
+import os
+
 from .subcircuits import (
     BytecodeSubCircuit, CopySubCircuit, EvmSubCircuit, ExpSubCircuit,
-    KeccakSubCircuit, PiSubCircuit, PoseidonSubCircuit, StateSubCircuit,
-    TableSubCircuit, TxSubCircuit,
+    KeccakSubCircuit, MptSubCircuit, PiSubCircuit, PoseidonSubCircuit,
+    StateSubCircuit, TableSubCircuit, TxSubCircuit,
 )
 
 INNER_DEGREE = 20  # production inner-circuit degree (reference README.md:21)
 
-_TABLE_SUBCIRCUITS = ["sha256", "rlp", "mod_exp", "sig", "ecc", "mpt"]
+_TABLE_SUBCIRCUITS = ["sha256", "rlp", "mod_exp", "sig", "ecc"]
+
+
+def _mpt_cap() -> int:
+    """In-circuit MPT verification capacity (proofs per chunk). Like the
+    reference's fixed per-degree circuit capacities, the cap is a circuit
+    parameter: tests keep domains small; production raises it with the
+    degree (CCC tracks the full demand either way)."""
+    return int(os.environ.get("SPT_MPT_CAP", "4"))
 
 # placeholder-table subcircuits assign a bounded sample region in test-scale
 # domains (full production capacity is the CCC-reported row_usages metadata)
@@ -64,6 +74,7 @@ class ScrollSuperCircuit(Circuit):
         """Smallest domain exponent that fits this witness (test shrink)."""
         usage = row_usage_of_witness_block(self.wb)
         wb = self.wb
+        mpt_rows, mpt_pos_rows = MptSubCircuit().rows_for(wb, cap=_mpt_cap())
         rows = max(
             max(min(d.row_number, _TABLE_REGION_CAP) for d in usage.row_usage_details),
             # real-table regions are assigned in full, never capped
@@ -72,7 +83,8 @@ class ScrollSuperCircuit(Circuit):
             len(wb.rw_rows) + 2,
             len(wb.keccak_events) + 2,
             wb.num_steps + 2,
-            1200,  # poseidon sponge region
+            mpt_rows + 2,
+            1200 + mpt_pos_rows,  # poseidon sponge region + mpt permutations
         )
         k = max((rows + 16).bit_length(), 8)
         return k
@@ -94,6 +106,7 @@ class ScrollSuperCircuit(Circuit):
         self.state = StateSubCircuit().configure(cs)
         self.exp = ExpSubCircuit().configure(cs)
         self.poseidon = PoseidonSubCircuit().configure(cs)
+        self.mpt = MptSubCircuit().configure(cs, self.state, self.poseidon)
         # the 6 committed-table subcircuits share one physical table with a
         # which-subcircuit id column (keeps the advice count — and hence
         # proof size and compression-layer domains — small)
@@ -120,6 +133,10 @@ class ScrollSuperCircuit(Circuit):
         used["state"] = self.state.assign(cs, fixed, adv, n, wb, 0)
         used["exp"] = self.exp.assign(cs, fixed, adv, n, wb, 0)
         used["poseidon"] = self.poseidon.assign(cs, fixed, adv, n, wb, 0)
+        used["mpt"], mpt_pos = self.mpt.assign(
+            cs, fixed, adv, n, wb, 0, pos_row0=used["poseidon"], cap=_mpt_cap()
+        )
+        used["poseidon"] += mpt_pos
         usage = row_usage_of_witness_block(wb).as_dict()
         row = 0
         for ti, name in enumerate(_TABLE_SUBCIRCUITS):
