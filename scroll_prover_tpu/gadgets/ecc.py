@@ -1,4 +1,6 @@
-"""In-circuit BN254 G1 arithmetic over non-native Fq (3 x 88-bit limbs).
+"""In-circuit short-Weierstrass arithmetic over non-native fields (3 x
+88-bit limbs). Default curve: BN254 G1; the sig circuit instantiates the
+same chip for secp256k1 (gadgets/ecdsa.py).
 
 The halo2-ecc equivalent (SURVEY.md section 2.2 halo2-base/halo2-ecc row;
 the reference's aggregation layers parameterize the same gadget family via
@@ -29,26 +31,32 @@ from ..fields.bn254 import FQ_MOD, FR_MOD
 from .builder import Builder, Cell
 from .nonnative import NN_BASE, NN_LIMB_BITS, NN_LIMBS, NnInt, NonNativeChip
 
-B_COEFF = 3  # y^2 = x^3 + 3
+B_COEFF = 3  # default curve: y^2 = x^3 + 3 (BN254 G1)
 
 
 @dataclass
 class EcPointNN:
-    """Affine, never-identity G1 point with non-native coordinates."""
+    """Affine, never-identity curve point with non-native coordinates."""
 
     x: NnInt
     y: NnInt
+    modulus: int = FQ_MOD
 
     @property
     def value(self) -> tuple[int, int]:
-        return (self.x.value % FQ_MOD, self.y.value % FQ_MOD)
+        return (self.x.value % self.modulus, self.y.value % self.modulus)
 
 
 class EccChip:
-    def __init__(self, nn: NonNativeChip):
+    def __init__(self, nn: NonNativeChip, b_coeff: int = B_COEFF):
         self.nn = nn
+        self.p = nn.p
+        self.b_coeff = b_coeff
         self.b: Builder = nn.b
         self._one = None
+
+    def _pt(self, x: NnInt, y: NnInt) -> EcPointNN:
+        return EcPointNN(x, y, self.p)
 
     def _one_nn(self) -> NnInt:
         if self._one is None:
@@ -59,14 +67,14 @@ class EccChip:
 
     def load_point(self, pt: tuple[int, int], check: bool = True) -> EcPointNN:
         assert pt is not None, "identity point cannot be loaded in-circuit"
-        p = EcPointNN(self.nn.load_witness(pt[0]), self.nn.load_witness(pt[1]))
+        p = self._pt(self.nn.load_witness(pt[0]), self.nn.load_witness(pt[1]))
         if check:
             self.assert_on_curve(p)
         return p
 
     def load_constant(self, pt: tuple[int, int]) -> EcPointNN:
         assert pt is not None
-        return EcPointNN(self.nn.load_constant(pt[0]), self.nn.load_constant(pt[1]))
+        return self._pt(self.nn.load_constant(pt[0]), self.nn.load_constant(pt[1]))
 
     def load_from_limbs(self, limbs: list[Cell], check: bool = True) -> EcPointNN:
         """Build a point from 6 existing cells (x0,x1,x2,y0,y1,y2 — low limb
@@ -75,7 +83,7 @@ class EccChip:
         assert len(limbs) == 2 * NN_LIMBS
         for c in limbs:
             self.b.range_check(c, NN_LIMB_BITS)
-        p = EcPointNN(
+        p = self._pt(
             NnInt(list(limbs[:NN_LIMBS]), NN_BASE),
             NnInt(list(limbs[NN_LIMBS:]), NN_BASE),
         )
@@ -85,20 +93,20 @@ class EccChip:
 
     def assert_on_curve(self, p: EcPointNN):
         x2 = self.nn.mul(p.x, p.x)
-        y2v = (p.y.value * p.y.value - B_COEFF) % FQ_MOD
+        y2v = (p.y.value * p.y.value - self.b_coeff) % self.p
         # x * x2 == y^2 - 3  (sub_out carries the constant offset)
         rhs = self.nn.load_witness(y2v)
         self.nn.mul(p.x, x2, sub_out=rhs)
-        three = self.nn.load_constant(B_COEFF)
+        three = self.nn.load_constant(self.b_coeff)
         self.nn.mul(p.y, p.y, sub_out=self.nn.reduce(self.nn.add(rhs, three)))
 
     # -- group ops ---------------------------------------------------------
 
     def neg(self, p: EcPointNN) -> EcPointNN:
-        return EcPointNN(p.x, self.nn.reduce(self.nn.neg(p.y)))
+        return self._pt(p.x, self.nn.reduce(self.nn.neg(p.y)))
 
     def select(self, bit: Cell, a: EcPointNN, b: EcPointNN) -> EcPointNN:
-        return EcPointNN(
+        return self._pt(
             self.nn.select(bit, a.x, b.x), self.nn.select(bit, a.y, b.y)
         )
 
@@ -106,37 +114,37 @@ class EccChip:
         """p + q with x_p != x_q enforced (witnessed inverse)."""
         nn = self.nn
         dx = nn.reduce(nn.sub(q.x, p.x))
-        dxv = dx.value % FQ_MOD
+        dxv = dx.value % self.p
         assert dxv != 0, "add_unequal: x collision (honest-run probability ~0)"
-        inv = nn.load_witness(pow(dxv, -1, FQ_MOD))
+        inv = nn.load_witness(pow(dxv, -1, self.p))
         nn.mul(dx, inv, sub_out=self._one_nn())
         dy = nn.sub(q.y, p.y)
-        lam_v = (dy.value % FQ_MOD) * pow(dxv, -1, FQ_MOD) % FQ_MOD
+        lam_v = (dy.value % self.p) * pow(dxv, -1, self.p) % self.p
         lam = nn.load_witness(lam_v)
         nn.mul(lam, dx, sub_out=nn.reduce(dy))
-        x3v = (lam_v * lam_v - p.x.value - q.x.value) % FQ_MOD
+        x3v = (lam_v * lam_v - p.x.value - q.x.value) % self.p
         x3 = nn.load_witness(x3v)
         nn.mul(lam, lam, sub_out=nn.reduce(nn.add(x3, nn.add(p.x, q.x))))
-        y3v = (lam_v * ((p.x.value - x3v) % FQ_MOD) - p.y.value) % FQ_MOD
+        y3v = (lam_v * ((p.x.value - x3v) % self.p) - p.y.value) % self.p
         y3 = nn.load_witness(y3v)
         nn.mul(lam, nn.sub(p.x, x3), sub_out=nn.reduce(nn.add(y3, p.y)))
-        return EcPointNN(x3, y3)
+        return self._pt(x3, y3)
 
     def double(self, p: EcPointNN) -> EcPointNN:
         nn = self.nn
-        xv, yv = p.x.value % FQ_MOD, p.y.value % FQ_MOD
+        xv, yv = p.x.value % self.p, p.y.value % self.p
         x2 = nn.mul(p.x, p.x)
-        lam_v = 3 * x2.value % FQ_MOD * pow(2 * yv % FQ_MOD, -1, FQ_MOD) % FQ_MOD
+        lam_v = 3 * x2.value % self.p * pow(2 * yv % self.p, -1, self.p) % self.p
         lam = nn.load_witness(lam_v)
         # lam * 2y == 3 x^2
         nn.mul(lam, nn.scale(p.y, 2), sub_out=nn.reduce(nn.scale(x2, 3)))
-        x3v = (lam_v * lam_v - 2 * xv) % FQ_MOD
+        x3v = (lam_v * lam_v - 2 * xv) % self.p
         x3 = nn.load_witness(x3v)
         nn.mul(lam, lam, sub_out=nn.reduce(nn.add(x3, nn.scale(p.x, 2))))
-        y3v = (lam_v * ((xv - x3v) % FQ_MOD) - yv) % FQ_MOD
+        y3v = (lam_v * ((xv - x3v) % self.p) - yv) % self.p
         y3 = nn.load_witness(y3v)
         nn.mul(lam, nn.sub(p.x, x3), sub_out=nn.reduce(nn.add(y3, p.y)))
-        return EcPointNN(x3, y3)
+        return self._pt(x3, y3)
 
     # -- scalar decomposition ----------------------------------------------
 
@@ -206,7 +214,7 @@ class EccChip:
             for i in range(0, len(cur), 2):
                 lo, hi = cur[i], cur[i + 1]
                 nxt.append(
-                    EcPointNN(
+                    self._pt(
                         NnInt(
                             [b.select(t_bits[j], hi.x.limbs[k], lo.x.limbs[k]) for k in range(NN_LIMBS)],
                             max(lo.x.max_limb, hi.x.max_limb),
@@ -221,7 +229,7 @@ class EccChip:
         sel = cur[0]
         neg_y = self.nn.reduce(self.nn.neg(sel.y))
         y = self.nn.select(sign, sel.y, neg_y)
-        return EcPointNN(sel.x, y)
+        return self._pt(sel.x, y)
 
     def _const1(self) -> Cell:
         c = getattr(self, "_c1", None)
@@ -247,6 +255,13 @@ class EccChip:
         bits = FR_MOD.bit_length() + 1 if max_bits is None else max_bits + 1
         n_digits = (bits + w - 1) // w + 1  # covers s (+ r when widened)
         all_bits = [self._signed_digits(s, n_digits) for s in scalars]
+        return self._msm_from_digits(all_bits, points)
+
+    def _msm_from_digits(
+        self, all_bits: list[list[list[Cell]]], points: list[EcPointNN]
+    ) -> EcPointNN:
+        w = self.WINDOW
+        n_digits = len(all_bits[0])
         tables = [self._window_table(p) for p in points]
         acc: EcPointNN | None = None
         for round_i in range(n_digits - 1, -1, -1):
@@ -257,3 +272,63 @@ class EccChip:
                 term = self._select_digit(all_bits[pi][round_i], tables[pi])
                 acc = term if acc is None else self.add_unequal(acc, term)
         return acc
+
+    def _signed_digits_wide(
+        self, u: NnInt, n_digits: int, nn_s: NonNativeChip
+    ) -> list[list[Cell]]:
+        """Signed odd base-16 digits of a NON-NATIVE scalar (u mod the
+        curve's group order nn_s.p, e.g. secp256k1 n > the native Fr).
+        The digit recomposition is re-assembled into 88-bit limb cells
+        (each an exact in-Fr linear form of 22 digits' bits, offset to
+        stay non-negative) and constrained ≡ u (mod nn_s.p) through the
+        scalar-field chip. Digit aliasing by multiples of the group order
+        is harmless: [u + m*ord]P = [u]P."""
+        b = self.b
+        w = self.WINDOW
+        per = NN_LIMB_BITS // w  # digits per 88-bit limb
+        assert w * n_digits == NN_LIMB_BITS * NN_LIMBS, "digit/limb mismatch"
+        v = u.value
+        if v % 2 == 0:
+            v += nn_s.p  # odd representative of the same scalar class
+        assert v < (1 << (w * n_digits - 1)), "scalar too wide"
+        digits = []
+        x = v
+        for _ in range(n_digits - 1):
+            d = x % (1 << w)
+            if (((x - d) >> w) % 2) == 0:
+                d -= 1 << w
+            assert d % 2 == 1 and -15 <= d <= 15
+            digits.append(d)
+            x = (x - d) >> w
+        assert x % 2 == 1 and 1 <= x <= 15, "scalar too wide for digit count"
+        digits.append(x)
+        digit_bits = [
+            [b.assert_bit(b.witness(((d + 15) // 2 >> j) & 1)) for j in range(w)]
+            for d in digits
+        ]
+        # limb k = sum_i d_{per*k+i} 16^i + (2^88 - 1)  (non-negative)
+        limb_cells = []
+        for k in range(NN_LIMBS):
+            terms = []
+            for i in range(per):
+                for j in range(w):
+                    terms.append(
+                        ((2 << j) * (1 << (w * i)), digit_bits[k * per + i][j])
+                    )
+            limb_cells.append(b.lin(terms))
+        d_nn = NnInt(limb_cells, 1 << (NN_LIMB_BITS + 1))
+        off = (NN_BASE - 1) * (1 + NN_BASE + NN_BASE * NN_BASE)
+        nn_s.assert_equal(d_nn, nn_s.add(u, nn_s.load_constant(off)))
+        return digit_bits
+
+    def msm_wide(
+        self, scalars: list[NnInt], points: list[EcPointNN],
+        nn_scalar: NonNativeChip,
+    ) -> EcPointNN:
+        """sum scalars[i] * points[i] for non-native (264-bit) scalars mod
+        the curve group order nn_scalar.p (ECDSA's u1*G + u2*Q shape)."""
+        n_digits = NN_LIMB_BITS * NN_LIMBS // self.WINDOW
+        all_bits = [
+            self._signed_digits_wide(s, n_digits, nn_scalar) for s in scalars
+        ]
+        return self._msm_from_digits(all_bits, points)

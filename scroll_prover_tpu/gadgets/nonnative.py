@@ -1,4 +1,8 @@
-"""Non-native BN254 Fq arithmetic over the Fr-circuit: 3 x 88-bit limbs.
+"""Non-native big-int arithmetic over the Fr-circuit: 3 x 88-bit limbs.
+
+The emulated modulus is a chip parameter (default BN254 Fq); the sig
+circuit instantiates the same chip for secp256k1's base and scalar fields
+(gadgets/ecdsa.py).
 
 Mirrors the halo2-ecc CRT integer design the reference's aggregation
 circuits are built on ("limb_bits": 88, "num_limbs": 3 in every
@@ -52,14 +56,19 @@ class NnInt:
 
 
 class NonNativeChip:
-    def __init__(self, b: Builder):
+    def __init__(self, b: Builder, p: int = FQ_MOD):
+        assert p.bit_length() <= NN_LIMB_BITS * NN_LIMBS
         self.b = b
+        self.p = p
+        self.p_limbs = [
+            (p >> (NN_LIMB_BITS * i)) & (NN_BASE - 1) for i in range(NN_LIMBS)
+        ]
 
     # -- loading -----------------------------------------------------------
 
     def load_witness(self, v: int) -> NnInt:
         """Witness a canonical Fq value (reduced mod p), limbs range-checked."""
-        v = int(v) % FQ_MOD
+        v = int(v) % self.p
         cells = []
         for i in range(NN_LIMBS):
             li = (v >> (NN_LIMB_BITS * i)) & (NN_BASE - 1)
@@ -67,7 +76,7 @@ class NonNativeChip:
         return NnInt(cells, NN_BASE)
 
     def load_constant(self, v: int) -> NnInt:
-        v = int(v) % FQ_MOD
+        v = int(v) % self.p
         cells = [
             self.b.const((v >> (NN_LIMB_BITS * i)) & (NN_BASE - 1))
             for i in range(NN_LIMBS)
@@ -83,7 +92,7 @@ class NonNativeChip:
     def sub(self, a: NnInt, b: NnInt) -> NnInt:
         """a - b + k*p, with k*p decomposed borrow-free so every output limb
         stays non-negative."""
-        corr = _borrow_free_multiple(b.max_limb)
+        corr = _borrow_free_multiple(b.max_limb, self.p)
         cells = [
             self.b.lin([(1, a.limbs[i]), (-1, b.limbs[i])], corr[i])
             for i in range(NN_LIMBS)
@@ -91,7 +100,7 @@ class NonNativeChip:
         return NnInt(cells, a.max_limb + max(corr) + 1)
 
     def neg(self, a: NnInt) -> NnInt:
-        corr = _borrow_free_multiple(a.max_limb)
+        corr = _borrow_free_multiple(a.max_limb, self.p)
         cells = [
             self.b.lin([(-1, a.limbs[i])], corr[i]) for i in range(NN_LIMBS)
         ]
@@ -113,18 +122,18 @@ class NonNativeChip:
         if a.max_limb <= NN_BASE:
             return a
         av = a.value
-        r = self.load_witness(av % FQ_MOD)
-        q_val = av // FQ_MOD
-        q_bits = max((a.max_value // FQ_MOD).bit_length(), 1)
+        r = self.load_witness(av % self.p)
+        q_val = av // self.p
+        q_bits = max((a.max_value // self.p).bit_length(), 1)
         assert q_bits <= NN_LIMB_BITS, "reduce: bound bug (quotient too large)"
         q = self.b.witness_ranged(q_val, q_bits)
         eqs, pos, neg = [], [], []
         for k in range(NN_LIMBS):
             eqs.append(
-                [(1, a.limbs[k]), (-_P_LIMBS[k], q), (-1, r.limbs[k])]
+                [(1, a.limbs[k]), (-self.p_limbs[k], q), (-1, r.limbs[k])]
             )
             pos.append(a.max_limb)
-            neg.append((_P_LIMBS[k] << q_bits) + NN_BASE)
+            neg.append((self.p_limbs[k] << q_bits) + NN_BASE)
         self._assert_limbs_zero(eqs, pos, neg)
         return r
 
@@ -140,20 +149,20 @@ class NonNativeChip:
         if b.max_limb > _MUL_LIMB_BOUND:
             b = self.reduce(b)
         if sub_out is None:
-            r = self.load_witness(a.value * b.value % FQ_MOD)
+            r = self.load_witness(a.value * b.value % self.p)
         else:
             r = sub_out
             assert r.max_limb <= _R_LIMB_BOUND, "mul: sub_out bound too loose"
-            assert (a.value * b.value - r.value) % FQ_MOD == 0, "mul: mismatch"
+            assert (a.value * b.value - r.value) % self.p == 0, "mul: mismatch"
         # fixed offset K*p >= max possible r (deterministic from bounds)
-        K = r.max_value // FQ_MOD + 1
+        K = r.max_value // self.p + 1
         prod = a.value * b.value
-        q_val = (prod + K * FQ_MOD - r.value) // FQ_MOD
-        assert (prod + K * FQ_MOD - r.value) % FQ_MOD == 0
-        q_max = (a.max_value * b.max_value + K * FQ_MOD) // FQ_MOD
+        q_val = (prod + K * self.p - r.value) // self.p
+        assert (prod + K * self.p - r.value) % self.p == 0
+        q_max = (a.max_value * b.max_value + K * self.p) // self.p
         q_bits = max(q_max.bit_length(), 1)
         qn = self._witness_big(q_val, q_bits)
-        kp_limbs = _int_limbs(K * FQ_MOD)
+        kp_limbs = _int_limbs(K * self.p)
 
         pij = {}
         for i in range(NN_LIMBS):
@@ -176,8 +185,8 @@ class NonNativeChip:
             for i, qc in enumerate(qn.limbs):
                 j = k - i
                 if 0 <= j < NN_LIMBS:
-                    terms.append((-_P_LIMBS[j], qc))
-                    n_b += _P_LIMBS[j] * qn.max_limb
+                    terms.append((-self.p_limbs[j], qc))
+                    n_b += self.p_limbs[j] * qn.max_limb
             if k < len(r.limbs):
                 terms.append((-1, r.limbs[k]))
                 n_b += r.max_limb
@@ -248,16 +257,16 @@ class NonNativeChip:
         """a ≡ 0 (mod p): witness q with a == q*p exactly (a's limbs are
         non-negative by construction)."""
         av = a.value
-        assert av % FQ_MOD == 0, "assert_zero: witness bug"
-        q_val = av // FQ_MOD
-        q_bits = max((a.max_value // FQ_MOD).bit_length(), 1)
+        assert av % self.p == 0, "assert_zero: witness bug"
+        q_val = av // self.p
+        q_bits = max((a.max_value // self.p).bit_length(), 1)
         assert q_bits <= NN_LIMB_BITS
         q = self.b.witness_ranged(q_val, q_bits)
-        eqs = [[(1, a.limbs[k]), (-_P_LIMBS[k], q)] for k in range(NN_LIMBS)]
+        eqs = [[(1, a.limbs[k]), (-self.p_limbs[k], q)] for k in range(NN_LIMBS)]
         self._assert_limbs_zero(
             eqs,
             pos_bound=[a.max_limb] * NN_LIMBS,
-            neg_bound=[(_P_LIMBS[k] << q_bits) + 1 for k in range(NN_LIMBS)],
+            neg_bound=[(self.p_limbs[k] << q_bits) + 1 for k in range(NN_LIMBS)],
         )
 
 
@@ -269,14 +278,15 @@ def _int_limbs(v: int) -> list[int]:
     return out or [0]
 
 
-def _borrow_free_multiple(m: int) -> list[int]:
+def _borrow_free_multiple(m: int, p: int = FQ_MOD) -> list[int]:
     """Limbs c_i (sum c_i B^i == k*p for some k) with every c_i >= m, so
     (a - b + c) has non-negative limbs whenever b's limbs are < m. Derived
     from the bound only — shape-deterministic."""
     B = NN_BASE
-    # p's top limb is ~2^77.6, so k must overshoot by ~2^11
+    # overshoot enough that k*p's limbs dominate m even for a small top
+    # limb (BN254 Fq's is ~2^77.6)
     k = (m >> (NN_LIMB_BITS - 12)) + 2
-    kp = k * FQ_MOD
+    kp = k * p
     c = [kp & (B - 1), (kp >> NN_LIMB_BITS) & (B - 1), kp >> (2 * NN_LIMB_BITS)]
     for i in range(NN_LIMBS - 1):
         if c[i] < m:

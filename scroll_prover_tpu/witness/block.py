@@ -103,6 +103,29 @@ class WitnessBlock:
     bytecode_map: dict[str, bytes] = field(default_factory=dict)  # hash -> code
     rw_rows: list[RwRow] = field(default_factory=list)
     keccak_events: list[KeccakEvent] = field(default_factory=list)
+    signed_txs: list = field(default_factory=list)  # TransactionTrace refs
+
+    def sig_events(self, cap: int | None = None):
+        """ECDSA events (witness/sig.py), recovered lazily and cached —
+        recovery is ~3 scalar mults per tx on the host."""
+        cache = getattr(self, "_sig_cache", None)  # (complete, events)
+        need_full = cap is None
+        if cache is None or (
+            (need_full or len(cache[1]) < cap) and not cache[0]
+        ):
+            from .sig import tx_sig_event
+
+            out = []
+            for tx in self.signed_txs:
+                if cap is not None and len(out) >= cap:
+                    break
+                ev = tx_sig_event(tx)
+                if ev is not None:
+                    out.append(ev)
+            cache = (need_full or len(out) < cap, out)
+            self._sig_cache = cache
+        evs = cache[1]
+        return evs if cap is None else evs[:cap]
 
     @property
     def num_steps(self) -> int:
@@ -171,6 +194,7 @@ def _absorb_block(wb: WitnessBlock, trace: BlockTrace) -> None:
             wb.num_l1_msgs += 1
         else:
             wb.sig_count += 1  # ECDSA recovery per L2 tx
+            wb.signed_txs.append(tx)
         th = tx.tx_hash
         if th and th.startswith("0x") and len(th) == 66:
             wb.tx_hashes.append(bytes.fromhex(th[2:]))

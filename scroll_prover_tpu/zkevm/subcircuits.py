@@ -18,7 +18,10 @@ Constraint depth by subcircuit in this round:
   * mpt       — REAL: storage inclusion proofs re-derived in-circuit
     (key/value-hash/leaf Poseidon permutations + sibling chain to a
     shared root), headers bound to the rw table
-  * keccak/sha256/rlp/mod_exp/sig/ecc — table form: witness rows
+  * sig       — REAL: recovered+verified (msg_hash, r, s, addr) table
+    rows; in-circuit secp256k1 ECDSA verification of the first
+    SPT_SIG_CAP events (~295k rows each — k>=19 production domains)
+  * keccak/sha256/rlp/mod_exp/ecc — table form: witness rows
     committed with tag/selector structure; semantic gates land in later
     rounds (reference scope is ~150k LoC of circuits, SURVEY.md section 2.2)
 """
@@ -728,6 +731,89 @@ class MptSubCircuit:
             for ev in events
         )
         return mpt_rows, pos_rows
+
+
+class SigSubCircuit:
+    """Signature table + capacity-gated in-circuit ECDSA verification.
+
+    Table rows: one per recovered signature with REAL values — the
+    EIP-155/2718 signing hash, r, s (hi/lo halves) and the recovered
+    address, all cross-checked against the trace at witness time
+    (witness/sig.py asserts keccak(pubkey)[12:] == `from`). The first
+    `cap` events are verified IN-CIRCUIT by the secp256k1 ECDSA gadget
+    (gadgets/ecdsa.py); the verified (z, r, s) are copy-constrained to
+    the table cells, so the committed rows ARE the verified statements.
+    One verification costs ~295k builder rows (k >= 19 domains) — the
+    reference sig circuit's cost scale — so the default capacity is 0
+    for test-size domains and production raises it with the degree
+    (reference zkevm-circuits sig_circuit, SURVEY.md section 2.2).
+    The pubkey->address keccak binding is host-checked; constraining it
+    in-circuit needs the keccak permutation circuit (designated
+    deepening)."""
+
+    FIELDS = ("msg_hi", "msg_lo", "r_hi", "r_lo", "s_hi", "s_lo", "addr")
+
+    def configure(self, cs: ConstraintSystem, cap: int = 0):
+        self.cap = cap
+        self.q = cs.fixed_column()
+        self.cols = {name: cs.advice_column() for name in self.FIELDS}
+        if cap:
+            from ..gadgets.builder import Builder
+
+            for c in self.cols.values():
+                cs.enable_permutation(c)
+            self.b = Builder().configure(cs, lookup_bits=11)
+        return self
+
+    @staticmethod
+    def _event_vals(ev):
+        m = (1 << 128) - 1
+        return {
+            "msg_hi": ev.msg_hash >> 128, "msg_lo": ev.msg_hash & m,
+            "r_hi": ev.r >> 128, "r_lo": ev.r & m,
+            "s_hi": ev.s >> 128, "s_lo": ev.s & m,
+            "addr": ev.address,
+        }
+
+    def assign(self, cs, fixed, adv, n, wb: WitnessBlock, row0: int) -> int:
+        events = wb.sig_events()
+        r = row0
+        hdr_rows = []
+        for ev in events:
+            fixed[self.q.index][r] = 1
+            for name, v in self._event_vals(ev).items():
+                adv[self.cols[name].index][r] = v
+            hdr_rows.append(r)
+            r += 1
+        if self.cap and events:
+            from ..gadgets.ecdsa import EcdsaChip
+
+            b = self.b.begin(cs, fixed, adv, n, 0)
+            chip = EcdsaChip(b)
+            for i, ev in enumerate(events[: self.cap]):
+                hdr = hdr_rows[i]
+                vals = self._event_vals(ev)
+
+                def cell(name):
+                    c = b.witness(vals[name])
+                    cs.copy(self.cols[name], hdr, c.col, c.row)
+                    return c
+
+                z = chip.load_u256(cell("msg_hi"), cell("msg_lo"))
+                rr = chip.load_u256(cell("r_hi"), cell("r_lo"))
+                ss = chip.load_u256(cell("s_hi"), cell("s_lo"))
+                chip.verify(z, rr, ss, ev.pubkey)
+            self._builder_rows = b.rows_used()
+        return r - row0
+
+    # builder-row budget per verified signature (measured ~295k; the
+    # estimate only sizes min_k — assign asserts on real overflow)
+    ROWS_PER_VERIFY = 340_000
+
+    def rows_for(self, wb: WitnessBlock, cap: int) -> tuple[int, int]:
+        events = wb.sig_events()
+        n_ver = min(len(events), cap)
+        return len(events), n_ver * self.ROWS_PER_VERIFY
 
 
 class PoseidonSubCircuit:

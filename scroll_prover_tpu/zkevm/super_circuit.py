@@ -24,12 +24,21 @@ import os
 from .subcircuits import (
     BytecodeSubCircuit, CopySubCircuit, EvmSubCircuit, ExpSubCircuit,
     KeccakSubCircuit, MptSubCircuit, PiSubCircuit, PoseidonSubCircuit,
-    StateSubCircuit, TableSubCircuit, TxSubCircuit,
+    SigSubCircuit, StateSubCircuit, TableSubCircuit, TxSubCircuit,
 )
 
 INNER_DEGREE = 20  # production inner-circuit degree (reference README.md:21)
 
-_TABLE_SUBCIRCUITS = ["sha256", "rlp", "mod_exp", "sig", "ecc"]
+_TABLE_SUBCIRCUITS = ["sha256", "rlp", "mod_exp", "ecc"]
+
+
+def _sig_cap() -> int:
+    """In-circuit ECDSA verification capacity (signatures per chunk).
+    One verification is ~295k builder rows (k >= 19), the reference sig
+    circuit's scale — default 0 keeps test domains small; production
+    raises it with the degree. Every signature still gets a REAL table
+    row (recovered + host-verified) regardless."""
+    return int(os.environ.get("SPT_SIG_CAP", "0"))
 
 
 def _mpt_cap() -> int:
@@ -75,6 +84,7 @@ class ScrollSuperCircuit(Circuit):
         usage = row_usage_of_witness_block(self.wb)
         wb = self.wb
         mpt_rows, mpt_pos_rows = MptSubCircuit().rows_for(wb, cap=_mpt_cap())
+        sig_rows, sig_builder_rows = SigSubCircuit().rows_for(wb, cap=_sig_cap())
         rows = max(
             max(min(d.row_number, _TABLE_REGION_CAP) for d in usage.row_usage_details),
             # real-table regions are assigned in full, never capped
@@ -84,6 +94,8 @@ class ScrollSuperCircuit(Circuit):
             len(wb.keccak_events) + 2,
             wb.num_steps + 2,
             mpt_rows + 2,
+            sig_rows + 2,
+            sig_builder_rows + 64,
             1200 + mpt_pos_rows,  # poseidon sponge region + mpt permutations
         )
         k = max((rows + 16).bit_length(), 8)
@@ -107,6 +119,7 @@ class ScrollSuperCircuit(Circuit):
         self.exp = ExpSubCircuit().configure(cs)
         self.poseidon = PoseidonSubCircuit().configure(cs)
         self.mpt = MptSubCircuit().configure(cs, self.state, self.poseidon)
+        self.sig = SigSubCircuit().configure(cs, cap=_sig_cap())
         # the 6 committed-table subcircuits share one physical table with a
         # which-subcircuit id column (keeps the advice count — and hence
         # proof size and compression-layer domains — small)
@@ -137,6 +150,7 @@ class ScrollSuperCircuit(Circuit):
             cs, fixed, adv, n, wb, 0, pos_row0=used["poseidon"], cap=_mpt_cap()
         )
         used["poseidon"] += mpt_pos
+        used["sig"] = self.sig.assign(cs, fixed, adv, n, wb, 0)
         usage = row_usage_of_witness_block(wb).as_dict()
         row = 0
         for ti, name in enumerate(_TABLE_SUBCIRCUITS):
