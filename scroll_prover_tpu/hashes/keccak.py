@@ -58,6 +58,59 @@ def keccak_f(state: list[int]) -> list[int]:
     return a
 
 
+def keccak_f_trace(state: list[int]) -> tuple[list[list[int]], list[list[int]]]:
+    """Per-round witness states for the keccak-f subcircuit:
+    (states, thetas) with states[r] = 25-lane state entering round r
+    (states[24] = permutation output) and thetas[r] = states[r] after the
+    theta step (pre-rho/pi/chi) — the two materialized row blocks."""
+    a = list(state)
+    states = [list(a)]
+    thetas = []
+    for rc in _ROUND_CONSTANTS:
+        c = [a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20] for x in range(5)]
+        d = [c[(x - 1) % 5] ^ _rol(c[(x + 1) % 5], 1) for x in range(5)]
+        a = [a[x + 5 * y] ^ d[x] for y in range(5) for x in range(5)]
+        thetas.append(list(a))
+        b = [0] * 25
+        for x in range(5):
+            for y in range(5):
+                b[y + 5 * ((2 * x + 3 * y) % 5)] = _rol(a[x + 5 * y], _ROTATIONS[x][y])
+        a = [
+            b[x + 5 * y] ^ ((~b[(x + 1) % 5 + 5 * y]) & b[(x + 2) % 5 + 5 * y]) & _MASK
+            for y in range(5)
+            for x in range(5)
+        ]
+        a[0] ^= rc
+        states.append(list(a))
+    return states, thetas
+
+
+def chi_sources(x: int, y: int) -> list[tuple[int, int]]:
+    """For chi output lane (x, y): the three (src_lane, rotation) pairs
+    whose rho/pi images are b[(x,y)], b[(x+1,y)], b[(x+2,y)] — bit z of
+    b = bit (z - rot) mod 64 of the post-theta src lane."""
+    out = []
+    for i in ((x, y), ((x + 1) % 5, y), ((x + 2) % 5, y)):
+        bx, by = i
+        yp = bx
+        xp = (by - 3 * bx) * 3 % 5  # inverse of j = (2x + 3y) mod 5
+        out.append((xp + 5 * yp, _ROTATIONS[xp][yp]))
+    return out
+
+
+def pad_blocks(data: bytes, rate: int = 136) -> list[bytes]:
+    """pad10*1 (Ethereum 0x01 domain) message blocks."""
+    padded = bytearray(data)
+    pad_len = rate - (len(padded) % rate)
+    padded += b"\x00" * pad_len
+    padded[len(data)] ^= 0x01
+    padded[-1] ^= 0x80
+    return [bytes(padded[o : o + rate]) for o in range(0, len(padded), rate)]
+
+
+ROUND_CONSTANTS = _ROUND_CONSTANTS
+
+
 def keccak256(data: bytes) -> bytes:
     rate = 136  # bytes (1088 bits)
     # pad10*1 with the 0x01 domain byte (Ethereum Keccak)

@@ -155,12 +155,14 @@ class KeccakSubCircuit:
 
     def assign(self, cs, fixed, adv, n, wb: WitnessBlock, row0: int) -> int:
         r = row0
+        self.row_of_ = {}
         for ev in wb.keccak_events:
             d = int.from_bytes(ev.digest, "big")
             fixed[self.q.index][r] = 1
             adv[self.len.index][r] = len(ev.preimage)
             adv[self.hash_hi.index][r] = d >> 128
             adv[self.hash_lo.index][r] = d & ((1 << 128) - 1)
+            self.row_of_[ev.digest] = r
             r += 1
         return r - row0
 

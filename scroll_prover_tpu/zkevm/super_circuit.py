@@ -21,6 +21,7 @@ from ..witness.block import WitnessBlock
 from ..witness.capacity import row_usage_of_witness_block
 import os
 
+from .keccak_circuit import KeccakFSubCircuit
 from .subcircuits import (
     BytecodeSubCircuit, CopySubCircuit, EvmSubCircuit, ExpSubCircuit,
     KeccakSubCircuit, MptSubCircuit, PiSubCircuit, PoseidonSubCircuit,
@@ -30,6 +31,14 @@ from .subcircuits import (
 INNER_DEGREE = 20  # production inner-circuit degree (reference README.md:21)
 
 _TABLE_SUBCIRCUITS = ["sha256", "rlp", "mod_exp", "ecc"]
+
+
+def _keccak_cap() -> int:
+    """Constrained keccak-f permutation capacity (permutations per chunk,
+    ~6.3k rows each). Default 0 keeps test domains small; when enabled,
+    bound events' bytecode-table hashes are PROVEN keccak digests of their
+    bytes (keccak_circuit.py)."""
+    return int(os.environ.get("SPT_KECCAK_CAP", "0"))
 
 
 def _sig_cap() -> int:
@@ -85,6 +94,7 @@ class ScrollSuperCircuit(Circuit):
         wb = self.wb
         mpt_rows, mpt_pos_rows = MptSubCircuit().rows_for(wb, cap=_mpt_cap())
         sig_rows, sig_builder_rows = SigSubCircuit().rows_for(wb, cap=_sig_cap())
+        kf_state_rows, kf_bit_rows = KeccakFSubCircuit().rows_for(wb, _keccak_cap())
         rows = max(
             max(min(d.row_number, _TABLE_REGION_CAP) for d in usage.row_usage_details),
             # real-table regions are assigned in full, never capped
@@ -96,6 +106,8 @@ class ScrollSuperCircuit(Circuit):
             mpt_rows + 2,
             sig_rows + 2,
             sig_builder_rows + 64,
+            kf_state_rows + 64,
+            kf_bit_rows + 64,
             1200 + mpt_pos_rows,  # poseidon sponge region + mpt permutations
         )
         k = max((rows + 16).bit_length(), 8)
@@ -120,6 +132,9 @@ class ScrollSuperCircuit(Circuit):
         self.poseidon = PoseidonSubCircuit().configure(cs)
         self.mpt = MptSubCircuit().configure(cs, self.state, self.poseidon)
         self.sig = SigSubCircuit().configure(cs, cap=_sig_cap())
+        self.keccak_f = KeccakFSubCircuit().configure(
+            cs, self.bytecode, self.keccak, cap=_keccak_cap()
+        )
         # the 6 committed-table subcircuits share one physical table with a
         # which-subcircuit id column (keeps the advice count — and hence
         # proof size and compression-layer domains — small)
@@ -151,6 +166,10 @@ class ScrollSuperCircuit(Circuit):
         )
         used["poseidon"] += mpt_pos
         used["sig"] = self.sig.assign(cs, fixed, adv, n, wb, 0)
+        used["keccak"] += self.keccak_f.assign(
+            cs, fixed, adv, n, wb, 0, self.keccak,
+            lambda dig: self.keccak.row_of_[dig],
+        )
         usage = row_usage_of_witness_block(wb).as_dict()
         row = 0
         for ti, name in enumerate(_TABLE_SUBCIRCUITS):
