@@ -31,25 +31,7 @@ class EcdsaChip:
         self.ec = EccChip(self.nn_p, b_coeff=secp.B)
 
     def load_u256(self, hi: Cell, lo: Cell) -> NnInt:
-        """NnInt exactly equal to hi*2^128 + lo. Splits the middle limb at
-        bit 40 so both binding identities stay inside Fr:
-            lo = l0 + l1a*2^88          (l0: 88 bits, l1a: 40 bits)
-            hi = l1b + l2*2^48          (l1b: 48 bits, l2: 80 bits)
-        As a side effect hi/lo are range-constrained to 128 bits."""
-        b = self.b
-        v = (int(hi.val) << 128) | int(lo.val)
-        l0 = v & (NN_BASE - 1)
-        l1 = (v >> NN_LIMB_BITS) & (NN_BASE - 1)
-        l2 = v >> (2 * NN_LIMB_BITS)
-        l1a, l1b = l1 & ((1 << 40) - 1), l1 >> 40
-        c0 = b.witness_ranged(l0, NN_LIMB_BITS)
-        c1a = b.witness_ranged(l1a, 40)
-        c1b = b.witness_ranged(l1b, 48)
-        c2 = b.witness_ranged(l2, 80)
-        c1 = b.lin([(1, c1a), (1 << 40, c1b)])
-        b.assert_lin_zero([(1, c0), (1 << NN_LIMB_BITS, c1a), (-1, lo)])
-        b.assert_lin_zero([(1, c1b), (1 << 48, c2), (-1, hi)])
-        return NnInt([c0, c1, c2], NN_BASE)
+        return self.nn_n.load_u256(hi, lo)
 
     def _assert_nonzero_mod_n(self, x: NnInt):
         nn = self.nn_n

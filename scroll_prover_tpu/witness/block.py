@@ -69,6 +69,16 @@ class KeccakEvent:
 
 
 @dataclass
+class EccEvent:
+    """One BN254 precompile call with REAL operands from the call trace:
+    op in {"ecadd", "ecmul", "ecpairing"}, raw input/output bytes."""
+
+    op: str
+    input: bytes
+    output: bytes
+
+
+@dataclass
 class WitnessBlock:
     chain_id: int = 0
     block_numbers: list[int] = field(default_factory=list)
@@ -104,6 +114,7 @@ class WitnessBlock:
     rw_rows: list[RwRow] = field(default_factory=list)
     keccak_events: list[KeccakEvent] = field(default_factory=list)
     signed_txs: list = field(default_factory=list)  # TransactionTrace refs
+    ecc_events: list = field(default_factory=list)  # EccEvent (real operands)
 
     def sig_events(self, cap: int | None = None):
         """ECDSA events (witness/sig.py), recovered lazily and cached —
@@ -365,12 +376,18 @@ def _walk_calls(wb: WitnessBlock, call: dict) -> None:
         if 1 <= addr <= 9:
             name = _PRECOMPILES[addr]
             wb.precompile_calls[name] += 1
+
+            def _hexb(key):
+                v = call.get(key) or "0x"
+                return bytes.fromhex(v[2:]) if v.startswith("0x") else b""
+
             if name == "sha256":
                 wb.sha256_bytes += len(call.get("input", "0x")) // 2
             elif name == "modexp":
                 wb.modexp_events += 1
             elif name in ("ecadd", "ecmul", "ecpairing"):
                 wb.ecc_ops[name] += 1
+                wb.ecc_events.append(EccEvent(name, _hexb("input"), _hexb("output")))
             elif name == "ecrecover":
                 wb.sig_count += 1
     for sub in call.get("calls") or []:

@@ -818,6 +818,160 @@ class SigSubCircuit:
         return len(events), n_ver * self.ROWS_PER_VERIFY
 
 
+class EccSubCircuit:
+    """BN254 precompile table (ecadd 0x06 / ecmul 0x07 / ecpairing 0x08)
+    with REAL operands from the call traces, plus capacity-gated in-circuit
+    verification through the non-native EccChip (reference zkevm-circuits
+    ecc_circuit over halo2-ecc, SURVEY.md section 2.2).
+
+    Table layout: one row per 256-bit word of input||output —
+    (op, slot, v_hi, v_lo) — so events of any arity share 4 columns.
+    For verified events the bound word cells feed the gadget:
+      ecadd:  P + Q == R   (double when P == Q; identity cases skipped —
+              the incomplete-affine chip cannot represent (0,0))
+      ecmul:  [k mod r] P == R  (k bound to its halves mod r exactly)
+      ecpairing: table-only (in-circuit pairing is the designated
+              deepening; its cost dwarfs every other subcircuit).
+    Capacity counts verified events; ecmul weighs ~300k builder rows
+    (k >= 19) like ECDSA, ecadd ~8k."""
+
+    OPS = {"ecadd": 1, "ecmul": 2, "ecpairing": 3}
+    ADD_ROWS, MUL_ROWS = 9_000, 340_000
+
+    def configure(self, cs: ConstraintSystem, cap: int = 0):
+        self.cap = cap
+        self.q = cs.fixed_column()
+        self.op = cs.advice_column()
+        self.slot = cs.advice_column()
+        self.v_hi = cs.advice_column()
+        self.v_lo = cs.advice_column()
+        if cap:
+            from ..gadgets.builder import Builder
+
+            for c in (self.v_hi, self.v_lo):
+                cs.enable_permutation(c)
+            self.b = Builder().configure(cs, lookup_bits=11)
+        return self
+
+    @staticmethod
+    def _words(ev, n_in: int):
+        data = ev.input.ljust(32 * n_in, b"\x00")[: 32 * n_in] + ev.output
+        return [
+            int.from_bytes(data[32 * i : 32 * i + 32], "big")
+            for i in range(len(data) // 32)
+        ]
+
+    def _verifiable(self, ev) -> bool:
+        from ..curves.bn254_curve import G1
+        from ..fields.bn254 import FQ_MOD, FR_MOD
+
+        if ev.op == "ecadd" and len(ev.output) >= 64:
+            x1, y1, x2, y2, x3, y3 = self._words(ev, 4)[:6]
+            pts = [(x1, y1), (x2, y2), (x3, y3)]
+            if any(p == (0, 0) for p in pts):
+                return False
+            if any((y * y - x * x * x - 3) % FQ_MOD for x, y in pts):
+                return False
+            return G1.add(pts[0], pts[1]) == pts[2]
+        if ev.op == "ecmul" and len(ev.output) >= 64:
+            x, y, k, x3, y3 = self._words(ev, 3)[:5]
+            if (x, y) == (0, 0) or (x3, y3) == (0, 0) or k % FR_MOD == 0:
+                return False
+            return (y * y - x * x * x - 3) % FQ_MOD == 0 and G1.mul(
+                (x, y), k % FR_MOD
+            ) == (x3, y3)
+        return False
+
+    def picks(self, wb: WitnessBlock):
+        if not self.cap:
+            return []
+        out = []
+        for ev in wb.ecc_events:
+            if len(out) >= self.cap:
+                break
+            if self._verifiable(ev):
+                out.append(ev)
+        return out
+
+    def rows_for(self, wb: WitnessBlock, cap: int) -> tuple[int, int]:
+        table = sum(
+            len(ev.input.ljust(32, b"\x00")) // 32 + len(ev.output) // 32
+            for ev in wb.ecc_events
+        )
+        self.cap = cap
+        builder = sum(
+            self.MUL_ROWS if ev.op == "ecmul" else self.ADD_ROWS
+            for ev in self.picks(wb)
+        )
+        return table, builder
+
+    def assign(self, cs, fixed, adv, n, wb: WitnessBlock, row0: int) -> int:
+        r = row0
+        cell_rows = {}  # ev id -> [row per word]
+        for ev in wb.ecc_events:
+            n_in = {"ecadd": 4, "ecmul": 3}.get(ev.op, max(len(ev.input) // 32, 1))
+            words = self._words(ev, n_in)
+            rows = []
+            for i, w in enumerate(words):
+                fixed[self.q.index][r] = 1
+                adv[self.op.index][r] = self.OPS[ev.op]
+                adv[self.slot.index][r] = i
+                adv[self.v_hi.index][r] = w >> 128
+                adv[self.v_lo.index][r] = w & ((1 << 128) - 1)
+                rows.append(r)
+                r += 1
+            cell_rows[id(ev)] = (words, rows)
+        picks = self.picks(wb)
+        if picks:
+            from ..gadgets.ecc import EccChip, EcPointNN
+            from ..gadgets.nonnative import NonNativeChip
+            from ..fields.bn254 import FR_MOD
+
+            b = self.b.begin(cs, fixed, adv, n, 0)
+            nn = NonNativeChip(b)
+            ec = EccChip(nn)
+            for ev in picks:
+                words, rows = cell_rows[id(ev)]
+
+                def half(i, which):
+                    w = words[i]
+                    v = (w >> 128) if which == 0 else (w & ((1 << 128) - 1))
+                    c = b.witness(v)
+                    col = self.v_hi if which == 0 else self.v_lo
+                    cs.copy(col, rows[i], c.col, c.row)
+                    return c
+
+                def point(i):
+                    x = nn.load_u256(half(i, 0), half(i, 1))
+                    y = nn.load_u256(half(i + 1, 0), half(i + 1, 1))
+                    pt = EcPointNN(x, y, nn.p)
+                    ec.assert_on_curve(pt)
+                    return pt
+
+                if ev.op == "ecadd":
+                    p, q2, want = point(0), point(2), point(4)
+                    got = (
+                        ec.double(p)
+                        if p.value == q2.value
+                        else ec.add_unequal(p, q2)
+                    )
+                else:  # ecmul
+                    p, want = point(0), point(3)
+                    k_hi, k_lo = half(2, 0), half(2, 1)
+                    b.range_check(k_hi, 128)
+                    b.range_check(k_lo, 128)
+                    kv = ((int(k_hi.val) << 128) | int(k_lo.val)) % FR_MOD
+                    kc = b.witness(kv)
+                    b.assert_lin_zero(
+                        [(1 << 128, k_hi), (1, k_lo), (-1, kc)]
+                    )
+                    got = ec.msm([kc], [p])
+                nn.assert_equal(got.x, want.x)
+                nn.assert_equal(got.y, want.y)
+            self._builder_rows = b.rows_used()
+        return r - row0
+
+
 class PoseidonSubCircuit:
     """Poseidon sponge chain, fully constrained.
 

@@ -23,14 +23,20 @@ import os
 
 from .keccak_circuit import KeccakFSubCircuit
 from .subcircuits import (
-    BytecodeSubCircuit, CopySubCircuit, EvmSubCircuit, ExpSubCircuit,
-    KeccakSubCircuit, MptSubCircuit, PiSubCircuit, PoseidonSubCircuit,
-    SigSubCircuit, StateSubCircuit, TableSubCircuit, TxSubCircuit,
+    BytecodeSubCircuit, CopySubCircuit, EccSubCircuit, EvmSubCircuit,
+    ExpSubCircuit, KeccakSubCircuit, MptSubCircuit, PiSubCircuit,
+    PoseidonSubCircuit, SigSubCircuit, StateSubCircuit, TableSubCircuit,
+    TxSubCircuit,
 )
 
 INNER_DEGREE = 20  # production inner-circuit degree (reference README.md:21)
 
-_TABLE_SUBCIRCUITS = ["sha256", "rlp", "mod_exp", "ecc"]
+_TABLE_SUBCIRCUITS = ["sha256", "rlp", "mod_exp"]
+
+
+def _ecc_cap() -> int:
+    """In-circuit BN254 precompile verification capacity (events)."""
+    return int(os.environ.get("SPT_ECC_CAP", "2"))
 
 
 def _keccak_cap() -> int:
@@ -95,6 +101,7 @@ class ScrollSuperCircuit(Circuit):
         mpt_rows, mpt_pos_rows = MptSubCircuit().rows_for(wb, cap=_mpt_cap())
         sig_rows, sig_builder_rows = SigSubCircuit().rows_for(wb, cap=_sig_cap())
         kf_state_rows, kf_bit_rows = KeccakFSubCircuit().rows_for(wb, _keccak_cap())
+        ecc_rows, ecc_builder_rows = EccSubCircuit().rows_for(wb, _ecc_cap())
         rows = max(
             max(min(d.row_number, _TABLE_REGION_CAP) for d in usage.row_usage_details),
             # real-table regions are assigned in full, never capped
@@ -108,6 +115,8 @@ class ScrollSuperCircuit(Circuit):
             sig_builder_rows + 64,
             kf_state_rows + 64,
             kf_bit_rows + 64,
+            ecc_rows + 2,
+            ecc_builder_rows + 64,
             1200 + mpt_pos_rows,  # poseidon sponge region + mpt permutations
         )
         k = max((rows + 16).bit_length(), 8)
@@ -132,6 +141,7 @@ class ScrollSuperCircuit(Circuit):
         self.poseidon = PoseidonSubCircuit().configure(cs)
         self.mpt = MptSubCircuit().configure(cs, self.state, self.poseidon)
         self.sig = SigSubCircuit().configure(cs, cap=_sig_cap())
+        self.ecc = EccSubCircuit().configure(cs, cap=_ecc_cap())
         self.keccak_f = KeccakFSubCircuit().configure(
             cs, self.bytecode, self.keccak, cap=_keccak_cap()
         )
@@ -166,6 +176,7 @@ class ScrollSuperCircuit(Circuit):
         )
         used["poseidon"] += mpt_pos
         used["sig"] = self.sig.assign(cs, fixed, adv, n, wb, 0)
+        used["ecc"] = self.ecc.assign(cs, fixed, adv, n, wb, 0)
         used["keccak"] += self.keccak_f.assign(
             cs, fixed, adv, n, wb, 0, self.keccak,
             lambda dig: self.keccak.row_of_[dig],
