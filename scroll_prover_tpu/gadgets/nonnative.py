@@ -305,9 +305,10 @@ def _borrow_free_multiple(m: int, p: int = FQ_MOD) -> list[int]:
     (a - b + c) has non-negative limbs whenever b's limbs are < m. Derived
     from the bound only — shape-deterministic."""
     B = NN_BASE
-    # overshoot enough that k*p's limbs dominate m even for a small top
-    # limb (BN254 Fq's is ~2^77.6)
-    k = (m >> (NN_LIMB_BITS - 12)) + 2
+    # k*p must reach m*(1 + B + B^2) so every limb can be raised to >= m
+    # by borrowing; works for any modulus width (BN254 Fq, secp fields,
+    # modexp event moduli)
+    k = (m * (1 + B + B * B)) // p + 2
     kp = k * p
     c = [kp & (B - 1), (kp >> NN_LIMB_BITS) & (B - 1), kp >> (2 * NN_LIMB_BITS)]
     for i in range(NN_LIMBS - 1):

@@ -52,11 +52,15 @@ class AggregationCircuit(Circuit):
         context: list[int],
         inners_have_acc: bool = True,
         links: list[tuple[int, int, int, int]] | None = None,
+        expose: list[tuple[int, int]] | None = None,
     ):
         """inners: [(vk, proof, instances)] per aggregated SNARK;
         context: public values bound by the digest and exposed after it;
         links: [(item_a, off_a, item_b, off_b)] instance-cell equalities
-        enforced with copy constraints (chunk chaining)."""
+        enforced with copy constraints (chunk chaining);
+        expose: [(item, off)] inner instance cells copied into THIS
+        circuit's instance after the context (statement pass-through:
+        state roots, data hashes — the verifier reads them from the PI)."""
         assert inners
         self.inners = [
             (vk, proof, [int(v) % FR_MOD for v in ins])
@@ -69,13 +73,17 @@ class AggregationCircuit(Circuit):
         self.context = [int(v) % FR_MOD for v in context]
         self.inners_have_acc = inners_have_acc
         self.links = list(links or [])
+        self.expose = list(expose or [])
+        for item, off in self.expose:
+            assert 0 <= item < len(self.inners)
+            assert 0 <= off < len(self.inners[item][2])
         self._min_k: int | None = None
         self._assign_cache: dict[int, dict] = {}
 
     # -- layout ------------------------------------------------------------
 
     def num_instance(self) -> int:
-        return ACC_CELLS + 1 + len(self.context)
+        return ACC_CELLS + 1 + len(self.context) + len(self.expose)
 
     def configure(self, cs: ConstraintSystem):
         self.instance = cs.instance_column()
@@ -138,14 +146,15 @@ class AggregationCircuit(Circuit):
             scalars.append(b.mul(scalars[-1], mu))
         lhs = ec.msm(scalars, [p for p, _ in pair_cells])
         rhs = ec.msm(scalars, [q for _, q in pair_cells])
-        return b, lhs, rhs, digest, ctx_cells
+        exp_cells = [all_inst_cells[i][off] for i, off in self.expose]
+        return b, lhs, rhs, digest, ctx_cells, exp_cells
 
     def min_k(self) -> int:
         if self._min_k is None:
             cs = ConstraintSystem()
             self.configure(cs)
             n_copies = len(cs.copies)
-            b, _l, _r, _d, _c = self._run(cs, _SinkCols(), _SinkCols(), 1 << 30)
+            b, *_rest = self._run(cs, _SinkCols(), _SinkCols(), 1 << 30)
             del cs.copies[n_copies:]
             rows = max(b.rows_used(), self._sponge_rows, 1 << LOOKUP_BITS)
             self._rows = rows
@@ -160,7 +169,7 @@ class AggregationCircuit(Circuit):
         had_copies = getattr(cs, "_agg_copies_done", False)
         fixed = empty_assignment(cs.num_fixed, n)
         adv = empty_assignment(cs.num_advice, n)
-        b, lhs, rhs, digest, ctx_cells = self._run(cs, fixed, adv, n)
+        b, lhs, rhs, digest, ctx_cells, exp_cells = self._run(cs, fixed, adv, n)
         limb_cells = [*lhs.x.limbs, *lhs.y.limbs, *rhs.x.limbs, *rhs.y.limbs]
         assert len(limb_cells) == ACC_CELLS
         for i, c in enumerate(limb_cells):
@@ -168,6 +177,9 @@ class AggregationCircuit(Circuit):
         cs.copy(self.instance, ACC_CELLS, digest.col, digest.row)
         for i, c in enumerate(ctx_cells):
             cs.copy(self.instance, ACC_CELLS + 1 + i, c.col, c.row)
+        base = ACC_CELLS + 1 + len(ctx_cells)
+        for i, c in enumerate(exp_cells):
+            cs.copy(self.instance, base + i, c.col, c.row)
         if had_copies:
             del cs.copies[copies_start:]
         else:
@@ -207,4 +219,5 @@ class AggregationCircuit(Circuit):
             lhs = G1.add(lhs, li if i == 0 else G1.mul(li, mp))
             rhs = G1.add(rhs, ri if i == 0 else G1.mul(ri, mp))
             mp = mp * mu % FR_MOD
-        return [[*acc_limbs(lhs, rhs), digest, *self.context]]
+        exposed = [self.inners[i][2][off] for i, off in self.expose]
+        return [[*acc_limbs(lhs, rhs), digest, *self.context, *exposed]]

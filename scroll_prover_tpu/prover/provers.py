@@ -30,7 +30,6 @@ from ..proof_system.plonk.verifier import (
     check_accumulator,
 )
 from .chunk_info import ChunkInfo
-from .compression import CompressionCircuit, compression_digest
 from .proofs import ChunkProofInner, ChunkProofV2, ProofPayload
 from .protocol import protocol_from_vk
 from .tasks import ChunkProvingTask
@@ -292,10 +291,77 @@ class ChunkVerifier:
         return ok
 
 
+# chunk layer2 instance offsets: [12 accumulator cells || chain_id,
+# prev_hi, prev_lo, post_hi, post_lo, withdraw_hi, withdraw_lo, dh_hi,
+# dh_lo] (VerifierCircuit pass-through of zkevm.chunk_instance)
+_L2_CHAIN_ID = ACC_CELLS
+_L2_PREV = ACC_CELLS + 1
+_L2_POST = ACC_CELLS + 3
+_L2_DH = ACC_CELLS + 7
+
+# batch layer4 instance offsets: [12 fresh acc || digest || batch_hash
+# hi/lo, z hi/lo, y hi/lo || chain_id, first_prev hi/lo, last_post hi/lo,
+# per-chunk dh...] (VerifierCircuit pass-through of the layer3
+# AggregationCircuit instance)
+_L4_DIGEST = ACC_CELLS
+_L4_BH = ACC_CELLS + 1
+_L4_Z = ACC_CELLS + 3
+_L4_Y = ACC_CELLS + 5
+_L4_CHAIN_ID = ACC_CELLS + 7
+_L4_FIRST_PREV = ACC_CELLS + 8
+_L4_LAST_POST = ACC_CELLS + 10
+_L4_DH0 = ACC_CELLS + 12
+
+
+def _chunk_chain_links(n: int) -> list[tuple[int, int, int, int]]:
+    """post_state_root(i) == prev_state_root(i+1), hi and lo halves."""
+    links = []
+    for i in range(n - 1):
+        links.append((i, _L2_POST, i + 1, _L2_PREV))
+        links.append((i, _L2_POST + 1, i + 1, _L2_PREV + 1))
+    return links
+
+
+def _batch_expose(n: int) -> list[tuple[int, int]]:
+    """Statement cells the batch PI carries: chain id, boundary state
+    roots, and every chunk's data hash (bound to the header's data_hash
+    by the verifier via keccak)."""
+    exp = [
+        (0, _L2_CHAIN_ID),
+        (0, _L2_PREV), (0, _L2_PREV + 1),
+        (n - 1, _L2_POST), (n - 1, _L2_POST + 1),
+    ]
+    for i in range(n):
+        exp.append((i, _L2_DH))
+        exp.append((i, _L2_DH + 1))
+    return exp
+
+
+def _bundle_links(n: int) -> list[tuple[int, int, int, int]]:
+    """last_post_state_root(batch i) == first_prev_state_root(batch i+1)."""
+    links = []
+    for i in range(n - 1):
+        links.append((i, _L4_LAST_POST, i + 1, _L4_FIRST_PREV))
+        links.append((i, _L4_LAST_POST + 1, i + 1, _L4_FIRST_PREV + 1))
+    return links
+
+
+def _bundle_expose(n: int) -> list[tuple[int, int]]:
+    exp = [
+        (0, _L4_FIRST_PREV), (0, _L4_FIRST_PREV + 1),
+        (n - 1, _L4_LAST_POST), (n - 1, _L4_LAST_POST + 1),
+    ]
+    for i in range(n):
+        exp.append((i, _L4_BH))
+        exp.append((i, _L4_BH + 1))
+    return exp
+
+
 class BatchProver:
-    """layer3 BatchCircuit + layer4 compression -> BatchProofV2;
-    layer5 RecursionCircuit + layer6 (Keccak transcript) -> BundleProof
-    (reference prove.rs:57-109, SURVEY.md section 3.2)."""
+    """layer3 AggregationCircuit (in-circuit verification of every chunk
+    layer2 SNARK) + layer4 verifier-compression -> BatchProofV2; layer5
+    AggregationCircuit over batch layer4s + layer6 (Keccak transcript) ->
+    BundleProof (reference prove.rs:57-109, SURVEY.md section 3.2)."""
 
     def __init__(self, params_map: dict[int, kzg.SRS], assets_dir: str = ""):
         self.params_map = params_map
@@ -328,27 +394,49 @@ class BatchProver:
         return payload, vk
 
     def gen_batch_proof(self, task, output_dir: str | None = None):
-        from ..aggregator.circuits import BatchCircuit
-        from .compression import CompressionCircuit
+        from ..aggregator.constants import MAX_AGG_SNARKS
+        from .aggregation_circuit import AggregationCircuit
         from .proofs import BatchProofInner, BatchProofV2
 
         header = task.batch_header
-        # chunk chaining sanity (the BatchCircuit also constrains roots)
+        # chunk chaining sanity (the AggregationCircuit links also
+        # constrain the roots in-circuit)
         infos = [p.inner.chunk_info() for p in task.chunk_proofs]
         for a, b in zip(infos, infos[1:]):
             assert a.post_state_root == b.prev_state_root, "chunk chain broken"
-        payloads = [
-            (p.inner.layers[-1].instances, p.inner.layers[-1].proof)
-            for p in task.chunk_proofs
+        assert 0 < len(task.chunk_proofs) <= MAX_AGG_SNARKS
+        inners = []
+        for p in task.chunk_proofs:
+            l2 = p.inner.layers[-1]
+            vk2 = load_vk(l2.vk_id, self.assets_dir)
+            assert vk2 is not None, f"chunk layer2 vk {l2.vk_id} unavailable"
+            inners.append((vk2, l2.proof, list(l2.instances)))
+        n = len(inners)
+        bh = header.batch_hash()
+        context = [
+            int.from_bytes(bh[:16], "big"), int.from_bytes(bh[16:], "big"),
+            header.blob_data_proof[0] >> 128,
+            header.blob_data_proof[0] & ((1 << 128) - 1),
+            header.blob_data_proof[1] >> 128,
+            header.blob_data_proof[1] & ((1 << 128) - 1),
         ]
-        log.info("batch %d: layer3 over %d chunks", header.batch_index, len(payloads))
+        log.info("batch %d: layer3 aggregation over %d chunks", header.batch_index, n)
+        # layer3: REAL 45-way aggregation — one VerifierGadget per chunk
+        # layer2 SNARK, accumulators mu-folded, state-root chaining linked
+        # in-circuit, statement cells exposed in the PI (reference
+        # BatchCircuit semantics, SURVEY.md section 3.2)
         layer3, vk3 = self._prove_circuit(
-            BatchCircuit(payloads, header), f"layer3_n{len(payloads)}"
+            AggregationCircuit(
+                inners, context, inners_have_acc=True,
+                links=_chunk_chain_links(n),
+                expose=_batch_expose(n),
+            ),
+            f"layer3_{'_'.join(hex(vk.transcript_repr())[:10] for vk, _, _ in inners)}",
         )
-        # layer4: REAL in-circuit verification of layer3 (VerifierCircuit),
-        # deferred pairing exposed as the 12-cell accumulator
+        # layer4: in-circuit verification of layer3 with its accumulator
+        # folded forward, deferred pairing exposed as the fresh 12 cells
         layer4, _vk4 = self._prove_circuit(
-            VerifierCircuit(vk3, layer3.proof, layer3.instances),
+            VerifierCircuit(vk3, layer3.proof, layer3.instances, inner_has_acc=True),
             f"layer4_{hex(vk3.transcript_repr())[:18]}",
         )
         proof = BatchProofV2(
@@ -363,29 +451,45 @@ class BatchProver:
         return proof
 
     def gen_bundle_proof(self, task, output_dir: str | None = None):
-        from ..aggregator.circuits import RecursionCircuit
         from ..proof_system.transcript import KeccakTranscript
-        from .compression import CompressionCircuit
+        from .aggregation_circuit import AggregationCircuit
         from .proofs import BundleProof
 
         headers = [p.inner.batch_header for p in task.batch_proofs]
         for a, b in zip(headers, headers[1:]):
             assert b.parent_batch_hash == a.batch_hash(), "batch chain broken"
-        payloads = [
-            (p.inner.layers[-1].instances, p.inner.layers[-1].proof)
-            for p in task.batch_proofs
+        inners = []
+        for p in task.batch_proofs:
+            l4 = p.inner.layers[-1]
+            vk4 = load_vk(l4.vk_id, self.assets_dir)
+            assert vk4 is not None, f"batch layer4 vk {l4.vk_id} unavailable"
+            inners.append((vk4, l4.proof, list(l4.instances)))
+        n = len(inners)
+        first_parent = headers[0].parent_batch_hash
+        last_hash = headers[-1].batch_hash()
+        context = [
+            int.from_bytes(first_parent[:16], "big"),
+            int.from_bytes(first_parent[16:], "big"),
+            int.from_bytes(last_hash[:16], "big"),
+            int.from_bytes(last_hash[16:], "big"),
+            n,
         ]
-        log.info("bundle: layer5 over %d batches", len(payloads))
+        log.info("bundle: layer5 aggregation over %d batches", n)
+        # layer5: in-circuit verification of every batch layer4 SNARK with
+        # cross-batch state-root chaining linked in-circuit (reference
+        # RecursionCircuit role)
         layer5, vk5 = self._prove_circuit(
-            RecursionCircuit(
-                payloads, headers[0].parent_batch_hash, headers[-1].batch_hash()
+            AggregationCircuit(
+                inners, context, inners_have_acc=True,
+                links=_bundle_links(n),
+                expose=_bundle_expose(n),
             ),
-            f"layer5_n{len(payloads)}",
+            f"layer5_{'_'.join(hex(vk.transcript_repr())[:10] for vk, _, _ in inners)}",
         )
         # layer6: REAL in-circuit verification of layer5; the outer proof
         # itself uses the EVM-facing Keccak transcript (reference layer6)
         layer6, _vk6 = self._prove_circuit(
-            VerifierCircuit(vk5, layer5.proof, layer5.instances),
+            VerifierCircuit(vk5, layer5.proof, layer5.instances, inner_has_acc=True),
             f"layer6_{hex(vk5.transcript_repr())[:18]}",
             transcript_cls=KeccakTranscript,
         )
@@ -483,14 +587,17 @@ class BatchVerifier:
         )
 
     def verify_batch_proof(self, proof) -> bool:
-        """ONE layer4 SNARK check with its 12-cell accumulator folded into
-        the pairing — layer4 verified layer3 in-circuit, so this
-        transitively attests to the BatchCircuit proof. The chunk SNARKs
-        aggregated under layer3 are still digest-bound (the 45-way
-        in-circuit aggregation is the remaining recursion milestone), so
-        the layer3 SNARK's own digest semantics stay load-bearing."""
+        """O(1) fully-recursive verification: ONE layer4 SNARK check with
+        its 12-cell accumulator folded into the pairing. Layer4 verified
+        layer3 in-circuit; layer3 (AggregationCircuit) verified EVERY chunk
+        layer2 SNARK in-circuit and folded their accumulators — so this
+        single check transitively attests to every chunk ladder down to the
+        inner super-circuit proofs (reference BatchVerifier semantics,
+        prove.rs:75-80)."""
+        from ..hashes.keccak import keccak256
+
         l3, l4 = proof.inner.layers
-        if list(l4.instances[ACC_CELLS:]) != list(l3.instances):
+        if list(l4.instances[ACC_CELLS:]) != list(l3.instances[ACC_CELLS:]):
             log.error("layer4 pass-through mismatch")
             return False
         if not self._verify_layer(l4, folded_acc=True):
@@ -498,26 +605,66 @@ class BatchVerifier:
             return False
         header = proof.inner.batch_header
         if header is not None:
+            inst = list(l4.instances)
             bh = header.batch_hash()
             if bh != proof.inner.batch_hash:
                 log.error("batch hash mismatch")
                 return False
-            ctx = l3.instances[1:3]
-            if ctx != [int.from_bytes(bh[:16], "big"), int.from_bytes(bh[16:], "big")]:
+            want_ctx = [
+                int.from_bytes(bh[:16], "big"), int.from_bytes(bh[16:], "big"),
+                header.blob_data_proof[0] >> 128,
+                header.blob_data_proof[0] & ((1 << 128) - 1),
+                header.blob_data_proof[1] >> 128,
+                header.blob_data_proof[1] & ((1 << 128) - 1),
+            ]
+            if inst[_L4_BH:_L4_BH + 6] != want_ctx:
                 log.error("layer3 header binding mismatch")
+                return False
+            # the exposed per-chunk data hashes must reproduce the header's
+            # data_hash = keccak(dh_0 || ... || dh_{n-1}) — this ties the
+            # header to the statements whose proofs were verified in-circuit
+            dh_cells = inst[_L4_DH0:]
+            if len(dh_cells) < 2 or len(dh_cells) % 2:
+                log.error("malformed exposed data-hash cells")
+                return False
+            preimage = b"".join(
+                ((hi << 128) | lo).to_bytes(32, "big")
+                for hi, lo in zip(dh_cells[0::2], dh_cells[1::2])
+            )
+            if keccak256(preimage) != header.data_hash:
+                log.error("exposed chunk data hashes != header data_hash")
                 return False
         return True
 
     def verify_bundle_proof(self, proof) -> bool:
+        """O(1): ONE layer6 SNARK (Keccak transcript) + ONE accumulator
+        pairing transitively verifies layer5's in-circuit aggregation of
+        every batch proof, and below them every chunk and inner proof."""
         from ..proof_system.transcript import KeccakTranscript
 
         l5, l6 = proof.layers
-        if list(l6.instances[ACC_CELLS:]) != list(l5.instances):
+        if list(l6.instances[ACC_CELLS:]) != list(l5.instances[ACC_CELLS:]):
             log.error("layer6 pass-through mismatch")
             return False
-        return self._verify_layer(
+        if not self._verify_layer(
             l6, transcript_cls=KeccakTranscript, folded_acc=True
-        )
+        ):
+            return False
+        # bundle PI sanity: [digest, first_parent hi/lo, last_hash hi/lo, n,
+        # first_prev hi/lo, last_post hi/lo, batch_hash_i hi/lo ...]; the
+        # last exposed batch hash must equal the declared last_hash context
+        inst = list(l6.instances)
+        base = ACC_CELLS + 1  # after digest
+        try:
+            n = inst[base + 4]
+            last_bh_off = base + 5 + 4 + 2 * (n - 1)
+            if inst[last_bh_off:last_bh_off + 2] != inst[base + 2:base + 4]:
+                log.error("last exposed batch hash != declared last_hash")
+                return False
+        except (IndexError, TypeError):
+            log.error("malformed bundle instance layout")
+            return False
+        return True
 
 
 # in-process vk registry: keygen publishes vks here so verifiers can check

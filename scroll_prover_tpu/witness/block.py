@@ -115,6 +115,7 @@ class WitnessBlock:
     keccak_events: list[KeccakEvent] = field(default_factory=list)
     signed_txs: list = field(default_factory=list)  # TransactionTrace refs
     ecc_events: list = field(default_factory=list)  # EccEvent (real operands)
+    modexp_raw: list = field(default_factory=list)  # (input, output) bytes
 
     def sig_events(self, cap: int | None = None):
         """ECDSA events (witness/sig.py), recovered lazily and cached —
@@ -385,6 +386,7 @@ def _walk_calls(wb: WitnessBlock, call: dict) -> None:
                 wb.sha256_bytes += len(call.get("input", "0x")) // 2
             elif name == "modexp":
                 wb.modexp_events += 1
+                wb.modexp_raw.append((_hexb("input"), _hexb("output")))
             elif name in ("ecadd", "ecmul", "ecpairing"):
                 wb.ecc_ops[name] += 1
                 wb.ecc_events.append(EccEvent(name, _hexb("input"), _hexb("output")))

@@ -972,6 +972,135 @@ class EccSubCircuit:
         return r - row0
 
 
+class ModExpSubCircuit:
+    """modexp precompile (0x05) events verified in-circuit by non-native
+    square-and-multiply modulo the EVENT's modulus (reference
+    misc-precompiled-circuit, which likewise limits operands to 32 bytes —
+    SURVEY.md section 2.2).
+
+    Table: one row per word of (B, E, M, R). In-circuit (capacity-gated):
+    the exponent's 256 bits are boolean-witnessed and recombined exactly
+    to its bound halves; acc = acc^2 * select(bit, B, 1) runs over a
+    NonNativeChip instantiated with the event's modulus, and the result is
+    constrained equal to the bound output. Events with operands > 32 bytes
+    or modulus < 2^160 (carry-analysis floor) stay table-only."""
+
+    ROWS_PER_EVENT = 90_000
+
+    def configure(self, cs: ConstraintSystem, cap: int = 0):
+        self.cap = cap
+        self.q = cs.fixed_column()
+        self.slot = cs.advice_column()
+        self.v_hi = cs.advice_column()
+        self.v_lo = cs.advice_column()
+        if cap:
+            from ..gadgets.builder import Builder
+
+            for c in (self.v_hi, self.v_lo):
+                cs.enable_permutation(c)
+            self.b = Builder().configure(cs, lookup_bits=11)
+        return self
+
+    @staticmethod
+    def _parse(raw):
+        inp, out = raw
+        if len(inp) < 96:
+            return None
+        bs = int.from_bytes(inp[0:32], "big")
+        es = int.from_bytes(inp[32:64], "big")
+        ms = int.from_bytes(inp[64:96], "big")
+        if not (0 < bs <= 32 and 0 < es <= 32 and 0 < ms <= 32):
+            return None
+        body = inp[96:]
+        if len(body) < bs + es + ms or len(out) < ms:
+            return None
+        b = int.from_bytes(body[:bs], "big")
+        e = int.from_bytes(body[bs : bs + es], "big")
+        m = int.from_bytes(body[bs + es : bs + es + ms], "big")
+        r = int.from_bytes(out[:ms], "big")
+        return b, e, m, r
+
+    def picks(self, wb: WitnessBlock):
+        if not self.cap:
+            return []
+        out = []
+        for raw in wb.modexp_raw:
+            if len(out) >= self.cap:
+                break
+            p = self._parse(raw)
+            if p and p[2] >= (1 << 160) and pow(p[0], p[1], p[2]) == p[3]:
+                out.append(p)
+        return out
+
+    def rows_for(self, wb: WitnessBlock, cap: int) -> tuple[int, int]:
+        self.cap = cap
+        return 4 * len(wb.modexp_raw), len(self.picks(wb)) * self.ROWS_PER_EVENT
+
+    def assign(self, cs, fixed, adv, n, wb: WitnessBlock, row0: int) -> int:
+        r = row0
+        word_rows = []
+        for raw in wb.modexp_raw:
+            p = self._parse(raw) or (0, 0, 0, 0)
+            rows = []
+            for i, w in enumerate(p):
+                fixed[self.q.index][r] = 1
+                adv[self.slot.index][r] = i
+                adv[self.v_hi.index][r] = w >> 128
+                adv[self.v_lo.index][r] = w & ((1 << 128) - 1)
+                rows.append(r)
+                r += 1
+            word_rows.append((p, rows))
+        picks = self.picks(wb)
+        if picks:
+            from ..gadgets.nonnative import NonNativeChip
+
+            b = self.b.begin(cs, fixed, adv, n, 0)
+            done = 0
+            for p, rows in word_rows:
+                if done >= len(picks) or p not in picks:
+                    continue
+                done += 1
+                bb, ee, mm, rr = p
+                nn = NonNativeChip(b, mm)
+
+                def half(i, which):
+                    w = p[i]
+                    v = (w >> 128) if which == 0 else (w & ((1 << 128) - 1))
+                    c = b.witness(v)
+                    col = self.v_hi if which == 0 else self.v_lo
+                    cs.copy(col, rows[i], c.col, c.row)
+                    return c
+
+                base = nn.load_u256(half(0, 0), half(0, 1))
+                e_hi, e_lo = half(1, 0), half(1, 1)
+                # M is the chip's modulus (fixed by the event's witness
+                # shape — framework convention); bind its cells exactly
+                m_hi, m_lo = half(2, 0), half(2, 1)
+                b.assert_lin_zero([(1, m_hi)], -(mm >> 128))
+                b.assert_lin_zero([(1, m_lo)], -(mm & ((1 << 128) - 1)))
+                want = nn.load_u256(half(3, 0), half(3, 1))
+                # exponent bits, exactly recombined per half
+                bits = []
+                for half_cell, v in ((e_lo, ee & ((1 << 128) - 1)),
+                                     (e_hi, ee >> 128)):
+                    hb = [
+                        b.assert_bit(b.witness((v >> i) & 1))
+                        for i in range(128)
+                    ]
+                    b.assert_lin_zero(
+                        [(1 << i, c) for i, c in enumerate(hb)]
+                        + [(-1, half_cell)]
+                    )
+                    bits += hb
+                one = nn.load_constant(1)
+                acc = one
+                for bit in reversed(bits):
+                    acc = nn.mul(acc, acc)
+                    acc = nn.mul(acc, nn.select(bit, base, one))
+                nn.assert_equal(acc, want)
+        return r - row0
+
+
 class PoseidonSubCircuit:
     """Poseidon sponge chain, fully constrained.
 

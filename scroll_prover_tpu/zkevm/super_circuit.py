@@ -24,14 +24,19 @@ import os
 from .keccak_circuit import KeccakFSubCircuit
 from .subcircuits import (
     BytecodeSubCircuit, CopySubCircuit, EccSubCircuit, EvmSubCircuit,
-    ExpSubCircuit, KeccakSubCircuit, MptSubCircuit, PiSubCircuit,
-    PoseidonSubCircuit, SigSubCircuit, StateSubCircuit, TableSubCircuit,
-    TxSubCircuit,
+    ExpSubCircuit, KeccakSubCircuit, ModExpSubCircuit, MptSubCircuit,
+    PiSubCircuit, PoseidonSubCircuit, SigSubCircuit, StateSubCircuit,
+    TableSubCircuit, TxSubCircuit,
 )
 
 INNER_DEGREE = 20  # production inner-circuit degree (reference README.md:21)
 
-_TABLE_SUBCIRCUITS = ["sha256", "rlp", "mod_exp"]
+_TABLE_SUBCIRCUITS = ["sha256", "rlp"]
+
+
+def _modexp_cap() -> int:
+    """In-circuit modexp verification capacity (events, ~90k rows each)."""
+    return int(os.environ.get("SPT_MODEXP_CAP", "1"))
 
 
 def _ecc_cap() -> int:
@@ -102,6 +107,7 @@ class ScrollSuperCircuit(Circuit):
         sig_rows, sig_builder_rows = SigSubCircuit().rows_for(wb, cap=_sig_cap())
         kf_state_rows, kf_bit_rows = KeccakFSubCircuit().rows_for(wb, _keccak_cap())
         ecc_rows, ecc_builder_rows = EccSubCircuit().rows_for(wb, _ecc_cap())
+        mx_rows, mx_builder_rows = ModExpSubCircuit().rows_for(wb, _modexp_cap())
         rows = max(
             max(min(d.row_number, _TABLE_REGION_CAP) for d in usage.row_usage_details),
             # real-table regions are assigned in full, never capped
@@ -117,6 +123,8 @@ class ScrollSuperCircuit(Circuit):
             kf_bit_rows + 64,
             ecc_rows + 2,
             ecc_builder_rows + 64,
+            mx_rows + 2,
+            mx_builder_rows + 64,
             1200 + mpt_pos_rows,  # poseidon sponge region + mpt permutations
         )
         k = max((rows + 16).bit_length(), 8)
@@ -142,6 +150,7 @@ class ScrollSuperCircuit(Circuit):
         self.mpt = MptSubCircuit().configure(cs, self.state, self.poseidon)
         self.sig = SigSubCircuit().configure(cs, cap=_sig_cap())
         self.ecc = EccSubCircuit().configure(cs, cap=_ecc_cap())
+        self.mod_exp = ModExpSubCircuit().configure(cs, cap=_modexp_cap())
         self.keccak_f = KeccakFSubCircuit().configure(
             cs, self.bytecode, self.keccak, cap=_keccak_cap()
         )
@@ -177,6 +186,7 @@ class ScrollSuperCircuit(Circuit):
         used["poseidon"] += mpt_pos
         used["sig"] = self.sig.assign(cs, fixed, adv, n, wb, 0)
         used["ecc"] = self.ecc.assign(cs, fixed, adv, n, wb, 0)
+        used["mod_exp"] = self.mod_exp.assign(cs, fixed, adv, n, wb, 0)
         used["keccak"] += self.keccak_f.assign(
             cs, fixed, adv, n, wb, 0, self.keccak,
             lambda dig: self.keccak.row_of_[dig],
