@@ -39,7 +39,8 @@ REPS = 6
 # per-stage hard timeouts (s): first-compile on the tunneled backend is
 # 20-40 s/kernel and the tile engine builds several
 STAGE_TIMEOUT = {
-    "probe": 90, "tiled": 420, "fast": 300, "scan": 240, "msm": 420, "cpu": 420,
+    "probe": 90, "tiled": 420, "fast": 300, "scan": 240, "msm": 420,
+    "msm20": 560, "quotient20": 560, "cpu": 420,
 }
 
 
@@ -166,12 +167,80 @@ def stage_msm() -> float:
     return max(time.perf_counter() - t0, 1e-9)
 
 
+def _msm_at(k: int) -> float:
+    import jax.numpy as jnp
+
+    from scroll_prover_tpu.curves.bn254_curve import g1_generator, G1
+    from scroll_prover_tpu.fields.limbs import FR_LIMB, FQ_LIMB, ints_to_limbs
+    from scroll_prover_tpu.ops import field_ops as fo
+    from scroll_prover_tpu.ops.msm_tile import msm_tile_host
+
+    n = 1 << k
+    rng = np.random.default_rng(1)
+    g = g1_generator()
+    pts = []
+    p = g
+    for _ in range(min(n, 1024)):
+        pts.append(p)
+        p = G1.add(p, g)
+    xs = ints_to_limbs(np.array([q[0] for q in pts], dtype=object))
+    ys = ints_to_limbs(np.array([q[1] for q in pts], dtype=object))
+    pa = np.stack([xs, ys], axis=1)
+    pa = np.tile(pa, (n // min(n, 1024), 1, 1))
+    points = fo.to_mont(FQ_LIMB, jnp.asarray(pa.reshape(n, 2, -1)))
+    scalars = jnp.asarray(fo.rand_elements(FR_LIMB, rng, n))
+    _force(points)
+    msm_tile_host(points, scalars)  # compile + warm
+    t0 = time.perf_counter()
+    msm_tile_host(points, scalars)
+    return max(time.perf_counter() - t0, 1e-9)
+
+
+def stage_msm20() -> float:
+    """2^20-point G1 MSM — the inner-circuit column-commit size
+    (VERDICT round-2 item 2: MSM Mpoints/s at production scale)."""
+    return _msm_at(20)
+
+
+def stage_quotient20() -> float:
+    """One quotient-shaped prover step at k=20: coset-NTT a column to the
+    extended domain, square it there (gate-eval stand-in), divide by the
+    vanishing polynomial shape via pointwise ops, and interpolate back —
+    the inner prover's per-column hot path (SURVEY.md section 3.1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scroll_prover_tpu.fields.limbs import FR_LIMB
+    from scroll_prover_tpu.ops import field_ops as fo
+    from scroll_prover_tpu.ops.ntt import EvaluationDomain
+
+    xm = _data(K)
+    dom = EvaluationDomain(K, j=2)
+
+    def step(v):
+        pad = jnp.zeros((dom.extended_n - dom.n, v.shape[1]), v.dtype)
+        ev = dom.ntt_extended(jnp.concatenate([v, pad]))
+        ev = fo.mont_mul(FR_LIMB, ev, ev)
+        return dom.intt_extended(ev)
+
+    stepj = jax.jit(step)
+    _force(stepj(xm))
+    rtt = _rtt(xm)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = stepj(xm)
+    _force(out)
+    return max((time.perf_counter() - t0) - rtt, 1e-9) / 3
+
+
 STAGES = {
     "probe": stage_probe,
     "tiled": stage_tiled,
     "fast": stage_fast,
     "scan": stage_scan,
     "msm": stage_msm,
+    "msm20": stage_msm20,
+    "quotient20": stage_quotient20,
     "cpu": stage_cpu,
 }
 
@@ -229,6 +298,15 @@ def main():
             extra["msm_g1_2pow16_wall_s"] = round(msm_dt, 6)
             extra["msm_g1_mpoints_s"] = round((1 << MSM_K) / msm_dt / 1e6, 3)
             extra["msm_vs_baseline"] = round(RUST_CPU_MSM_2POW16_S / msm_dt, 3)
+        msm20_dt = _run_stage("msm20")
+        if msm20_dt is not None:
+            extra["msm_g1_2pow20_wall_s"] = round(msm20_dt, 6)
+            extra["msm_g1_2pow20_mpoints_s"] = round((1 << 20) / msm20_dt / 1e6, 3)
+        q_dt = _run_stage("quotient20")
+        if q_dt is not None:
+            # coset-NTT -> gate eval -> iNTT at the inner-circuit size: the
+            # per-column prover hot path (VERDICT round-2 item 2)
+            extra["quotient_step_2pow20_wall_s"] = round(q_dt, 6)
     print(
         json.dumps(
             {
