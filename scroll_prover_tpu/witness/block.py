@@ -114,6 +114,7 @@ class WitnessBlock:
     rw_rows: list[RwRow] = field(default_factory=list)
     keccak_events: list[KeccakEvent] = field(default_factory=list)
     signed_txs: list = field(default_factory=list)  # TransactionTrace refs
+    signed_tx_ids: list = field(default_factory=list)  # their 1-based table ids
     ecc_events: list = field(default_factory=list)  # EccEvent (real operands)
     modexp_raw: list = field(default_factory=list)  # (input, output) bytes
 
@@ -207,6 +208,7 @@ def _absorb_block(wb: WitnessBlock, trace: BlockTrace) -> None:
         else:
             wb.sig_count += 1  # ECDSA recovery per L2 tx
             wb.signed_txs.append(tx)
+            wb.signed_tx_ids.append(wb.num_txs)  # 1-based tx-table id
         th = tx.tx_hash
         if th and th.startswith("0x") and len(th) == 66:
             wb.tx_hashes.append(bytes.fromhex(th[2:]))

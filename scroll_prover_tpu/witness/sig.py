@@ -50,24 +50,30 @@ def _access_list(al: list) -> list:
     return out
 
 
-def tx_sig_hash(tx: TransactionTrace) -> bytes:
-    """EIP-155 (type 0) / EIP-2930 (1) / EIP-1559 (2) signing hash."""
+def tx_sig_payload(tx: TransactionTrace) -> bytes:
+    """The full signing payload (RLP bytes, with the EIP-2718 type prefix
+    for typed txs) whose keccak is the signing hash."""
     to = _addr_bytes(tx.to_addr)
     data = tx.call_data
     if tx.type == 0:
         fields = [tx.nonce, tx.gas_price, tx.gas, to, tx.value, data]
         if tx.v >= 35:  # EIP-155
             fields += [tx.chain_id, 0, 0]
-        return keccak256(rlp_encode(fields))
+        return rlp_encode(fields)
     if tx.type == 1:
         body = [tx.chain_id, tx.nonce, tx.gas_price, tx.gas, to, tx.value,
                 data, _access_list(tx.access_list)]
-        return keccak256(b"\x01" + rlp_encode(body))
+        return b"\x01" + rlp_encode(body)
     if tx.type == 2:
         body = [tx.chain_id, tx.nonce, tx.gas_tip_cap, tx.gas_fee_cap,
                 tx.gas, to, tx.value, data, _access_list(tx.access_list)]
-        return keccak256(b"\x02" + rlp_encode(body))
+        return b"\x02" + rlp_encode(body)
     raise ValueError(f"unsupported signed tx type {tx.type}")
+
+
+def tx_sig_hash(tx: TransactionTrace) -> bytes:
+    """EIP-155 (type 0) / EIP-2930 (1) / EIP-1559 (2) signing hash."""
+    return keccak256(tx_sig_payload(tx))
 
 
 def recovery_parity(tx: TransactionTrace) -> int:

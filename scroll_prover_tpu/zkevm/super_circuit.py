@@ -22,6 +22,7 @@ from ..witness.capacity import row_usage_of_witness_block
 import os
 
 from .keccak_circuit import KeccakFSubCircuit
+from .rlp_circuit import RlpSubCircuit
 from .subcircuits import (
     BytecodeSubCircuit, CopySubCircuit, EccSubCircuit, EvmSubCircuit,
     ExpSubCircuit, KeccakSubCircuit, ModExpSubCircuit, MptSubCircuit,
@@ -31,7 +32,7 @@ from .subcircuits import (
 
 INNER_DEGREE = 20  # production inner-circuit degree (reference README.md:21)
 
-_TABLE_SUBCIRCUITS = ["sha256", "rlp"]
+_TABLE_SUBCIRCUITS = ["sha256"]
 
 
 def _modexp_cap() -> int:
@@ -108,6 +109,7 @@ class ScrollSuperCircuit(Circuit):
         kf_state_rows, kf_bit_rows = KeccakFSubCircuit().rows_for(wb, _keccak_cap())
         ecc_rows, ecc_builder_rows = EccSubCircuit().rows_for(wb, _ecc_cap())
         mx_rows, mx_builder_rows = ModExpSubCircuit().rows_for(wb, _modexp_cap())
+        rlp_rows = RlpSubCircuit.rows_for(RlpSubCircuit(), wb)
         rows = max(
             max(min(d.row_number, _TABLE_REGION_CAP) for d in usage.row_usage_details),
             # real-table regions are assigned in full, never capped
@@ -125,6 +127,7 @@ class ScrollSuperCircuit(Circuit):
             ecc_builder_rows + 64,
             mx_rows + 2,
             mx_builder_rows + 64,
+            rlp_rows + 2,
             1200 + mpt_pos_rows,  # poseidon sponge region + mpt permutations
         )
         k = max((rows + 16).bit_length(), 8)
@@ -154,6 +157,7 @@ class ScrollSuperCircuit(Circuit):
         self.keccak_f = KeccakFSubCircuit().configure(
             cs, self.bytecode, self.keccak, cap=_keccak_cap()
         )
+        self.rlp = RlpSubCircuit().configure(cs, self.byte_table, self.tx)
         # the 6 committed-table subcircuits share one physical table with a
         # which-subcircuit id column (keeps the advice count — and hence
         # proof size and compression-layer domains — small)
@@ -191,6 +195,7 @@ class ScrollSuperCircuit(Circuit):
             cs, fixed, adv, n, wb, 0, self.keccak,
             lambda dig: self.keccak.row_of_[dig],
         )
+        used["rlp"] = self.rlp.assign(cs, fixed, adv, n, wb, 0)
         usage = row_usage_of_witness_block(wb).as_dict()
         row = 0
         for ti, name in enumerate(_TABLE_SUBCIRCUITS):
