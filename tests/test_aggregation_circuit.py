@@ -44,7 +44,7 @@ def inners(srs):
 def _counting(circ: AggregationCircuit):
     cs = ConstraintSystem()
     circ.configure(cs)
-    b, lhs, rhs, digest, _ctx = circ._run(cs, _SinkCols(), _SinkCols(), 1 << 30)
+    b, lhs, rhs, digest, _ctx, _exp = circ._run(cs, _SinkCols(), _SinkCols(), 1 << 30)
     return lhs.value, rhs.value, digest.val
 
 
@@ -104,6 +104,24 @@ def test_agg_link_violation_caught(srs, inners):
         cs = ConstraintSystem()
         circ.configure(cs)
         circ._run(cs, _SinkCols(), _SinkCols(), 1 << 30)
+
+
+def test_agg_expose_pass_through(srs, inners):
+    # expose: inner instance cells copied into the aggregate's own PI after
+    # the context (statement pass-through used by layer3/layer5)
+    circ = AggregationCircuit(
+        inners, context=[5, 6], inners_have_acc=False,
+        expose=[(0, 0), (1, 0)],
+    )
+    want = circ.instance_for()[0]
+    assert want[ACC_CELLS + 1 :] == [5, 6, inners[0][2][0], inners[1][2][0]]
+    assert circ.num_instance() == ACC_CELLS + 1 + 2 + 2
+    # the circuit-side cells returned for exposure carry the same values
+    # (assign() later pins them to the instance with copy constraints)
+    cs = ConstraintSystem()
+    circ.configure(cs)
+    *_rest, exp_cells = circ._run(cs, _SinkCols(), _SinkCols(), 1 << 30)
+    assert [c.val for c in exp_cells] == [inners[0][2][0], inners[1][2][0]]
 
 
 @pytest.mark.slow
