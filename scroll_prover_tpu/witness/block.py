@@ -117,6 +117,7 @@ class WitnessBlock:
     signed_tx_ids: list = field(default_factory=list)  # their 1-based table ids
     ecc_events: list = field(default_factory=list)  # EccEvent (real operands)
     modexp_raw: list = field(default_factory=list)  # (input, output) bytes
+    sha256_raw: list = field(default_factory=list)  # (input, output) bytes
 
     def sig_events(self, cap: int | None = None):
         """ECDSA events (witness/sig.py), recovered lazily and cached —
@@ -386,6 +387,7 @@ def _walk_calls(wb: WitnessBlock, call: dict) -> None:
 
             if name == "sha256":
                 wb.sha256_bytes += len(call.get("input", "0x")) // 2
+                wb.sha256_raw.append((_hexb("input"), _hexb("output")))
             elif name == "modexp":
                 wb.modexp_events += 1
                 wb.modexp_raw.append((_hexb("input"), _hexb("output")))

@@ -23,6 +23,7 @@ import os
 
 from .keccak_circuit import KeccakFSubCircuit
 from .rlp_circuit import RlpSubCircuit
+from .sha256_circuit import Sha256SubCircuit
 from .subcircuits import (
     BytecodeSubCircuit, CopySubCircuit, EccSubCircuit, EvmSubCircuit,
     ExpSubCircuit, KeccakSubCircuit, ModExpSubCircuit, MptSubCircuit,
@@ -32,7 +33,12 @@ from .subcircuits import (
 
 INNER_DEGREE = 20  # production inner-circuit degree (reference README.md:21)
 
-_TABLE_SUBCIRCUITS = ["sha256"]
+_TABLE_SUBCIRCUITS = []
+
+
+def _sha256_cap() -> int:
+    """Constrained SHA-256 compression capacity (512-bit blocks)."""
+    return int(os.environ.get("SPT_SHA256_CAP", "0"))
 
 
 def _modexp_cap() -> int:
@@ -110,6 +116,7 @@ class ScrollSuperCircuit(Circuit):
         ecc_rows, ecc_builder_rows = EccSubCircuit().rows_for(wb, _ecc_cap())
         mx_rows, mx_builder_rows = ModExpSubCircuit().rows_for(wb, _modexp_cap())
         rlp_rows = RlpSubCircuit.rows_for(RlpSubCircuit(), wb)
+        sh_rows, sh_grid = Sha256SubCircuit().rows_for(wb, _sha256_cap())
         rows = max(
             max(min(d.row_number, _TABLE_REGION_CAP) for d in usage.row_usage_details),
             # real-table regions are assigned in full, never capped
@@ -128,6 +135,7 @@ class ScrollSuperCircuit(Circuit):
             mx_rows + 2,
             mx_builder_rows + 64,
             rlp_rows + 2,
+            sh_rows + sh_grid + 64,
             1200 + mpt_pos_rows,  # poseidon sponge region + mpt permutations
         )
         k = max((rows + 16).bit_length(), 8)
@@ -158,6 +166,7 @@ class ScrollSuperCircuit(Circuit):
             cs, self.bytecode, self.keccak, cap=_keccak_cap()
         )
         self.rlp = RlpSubCircuit().configure(cs, self.byte_table, self.tx)
+        self.sha256 = Sha256SubCircuit().configure(cs, cap=_sha256_cap())
         # the 6 committed-table subcircuits share one physical table with a
         # which-subcircuit id column (keeps the advice count — and hence
         # proof size and compression-layer domains — small)
@@ -196,6 +205,7 @@ class ScrollSuperCircuit(Circuit):
             lambda dig: self.keccak.row_of_[dig],
         )
         used["rlp"] = self.rlp.assign(cs, fixed, adv, n, wb, 0)
+        used["sha256"] = self.sha256.assign(cs, fixed, adv, n, wb, 0)
         usage = row_usage_of_witness_block(wb).as_dict()
         row = 0
         for ti, name in enumerate(_TABLE_SUBCIRCUITS):
