@@ -1,19 +1,30 @@
 """WitnessBlock: the aggregated per-chunk witness tables.
 
 A deterministic reduction of one-or-more BlockTraces into the quantities the
-subcircuits assign from (step list, rw ops, bytecode table, keccak inputs,
-copy bytes, precompile counts, state accesses). Functional mirror of
+subcircuits assign from (step list, rw table, bytecode table, keccak inputs,
+copy bytes, precompile operands, state accesses). Functional mirror of
 `chunk_trace_to_witness_block` (reference integration/src/mock.rs:12; the
-bus-mapping CircuitInputBuilder replay, SURVEY.md section 2.2) scoped to the
-statistics + tables our subcircuits consume.
+bus-mapping CircuitInputBuilder replay, SURVEY.md section 2.2).
+
+Each tx is re-executed per-opcode from its prestate by witness/replay.py,
+cross-checked step-by-step against the traced structLogs; the replay yields
+real EXP operands, SHA3 preimages, opcode-granular storage rw rows, exact
+copy/stack/memory counts, and per-step frame code hashes. When a replay
+diverges (exotic construct), that tx falls back to the tx-granular
+statistical reduction — honest degradation, logged, never silent.
+Disable with SPT_NO_REPLAY=1 (statistical everywhere).
 """
 from __future__ import annotations
 
+import logging
+import os
 from collections import Counter
 from dataclasses import dataclass, field
 
 from ..hashes.keccak import keccak256
 from ..l2types.block_trace import BlockTrace
+
+_LOG = logging.getLogger(__name__)
 
 # opcodes whose dynamic gas is copy traffic (3 gas/word); CALL/CREATE gas
 # is dominated by stipends/account charges, so they are excluded here
@@ -37,8 +48,11 @@ class StepWitness:
     depth: int
     tx_index: int
     # keccak code hash (int) of the executing frame's bytecode; 0 when the
-    # frame's code is unknown (sub-calls — structLogs carry no frame info)
+    # frame's code is unknown (statistical path: sub-call frames; replay
+    # path: only implicit-STOP padding steps beyond the code end)
     code_hash: int = 0
+    # executed opcode byte from the replay (-1: derive from the mnemonic)
+    op_byte: int = -1
 
 
 # rw-table tags (reference bus-mapping RwTableTag subset)
@@ -46,6 +60,7 @@ TAG_BALANCE = 1
 TAG_NONCE = 2
 TAG_CODEHASH = 3
 TAG_STORAGE = 4
+TAG_TSTORAGE = 5  # EIP-1153 transient storage (own consistency group)
 
 
 @dataclass
@@ -118,6 +133,9 @@ class WitnessBlock:
     ecc_events: list = field(default_factory=list)  # EccEvent (real operands)
     modexp_raw: list = field(default_factory=list)  # (input, output) bytes
     sha256_raw: list = field(default_factory=list)  # (input, output) bytes
+    # real EXP operands from the per-opcode replay: (base, exponent, result)
+    exp_real: list = field(default_factory=list)
+    replayed_txs: int = 0  # txs whose witness came from the full replay
 
     def sig_events(self, cap: int | None = None):
         """ECDSA events (witness/sig.py), recovered lazily and cached —
@@ -239,6 +257,31 @@ def _absorb_block(wb: WitnessBlock, trace: BlockTrace) -> None:
             if code:
                 _add_bytecode(wb, code)
                 frame_hash = int.from_bytes(keccak256(code), "big")
+
+        repl = None
+        if er.struct_logs and not os.environ.get("SPT_NO_REPLAY"):
+            from .replay import ReplayDivergence, replay_tx
+
+            try:
+                repl = replay_tx(trace, tx, er)
+            except ReplayDivergence as exc:
+                _LOG.warning(
+                    "replay divergence for tx %s: %s — statistical fallback",
+                    tx.tx_hash, exc,
+                )
+        if repl is not None:
+            wb.replayed_txs += 1
+            _absorb_prestate(wb, er)
+            for a in repl.storage_accesses:
+                _emit_rw(
+                    wb, TAG_TSTORAGE if a.transient else TAG_STORAGE,
+                    a.addr, a.slot, a.value, a.is_write,
+                )
+            _absorb_account_after(wb, er)
+            _absorb_replay(wb, er, repl, wb.num_txs - 1)
+            _walk_calls(wb, er.call_trace)
+            continue
+
         _absorb_state(wb, er)
         for sl in er.struct_logs:
             wb.steps.append(
@@ -302,58 +345,101 @@ def _hex_int(v) -> int:
     return int(s, 16) if s.startswith("0x") else int(s or "0")
 
 
-def _absorb_state(wb: WitnessBlock, er) -> None:
-    """rw-table rows with REAL values: per-tx prestate account/storage reads
-    followed by accountAfter writes (the bus-mapping replay's access pattern
-    at tx granularity — structLogs carry no stack/memory, so per-opcode rw
-    events are scoped to a later deepening; consistency across txs is real:
-    each tx's pre-values must chain from the previous writes)."""
+def _emit_rw(wb: WitnessBlock, tag, addr, key, value, is_write) -> None:
+    """Append one rw row, bridging chain gaps: a read whose value differs
+    from the last seen value for (tag, addr, key) gets a synthesized write
+    first (e.g. a balance change outside accountAfter) so the honest table
+    satisfies the read-consistency gate. Opcode-granular events from the
+    replay never bridge — their values chain by construction."""
     last = getattr(wb, "_rw_last", None)
     if last is None:
         last = wb._rw_last = {}
-
-    def emit(tag, addr, key, value, is_write):
-        value %= 1 << 256
-        k = (tag, addr, key)
-        if not is_write and k in last and last[k] != value:
-            # chain gap (e.g. a storage slot written by an earlier tx, or a
-            # balance change outside accountAfter): emit the bridging write
-            # so the honest table satisfies the read-consistency gate. True
-            # per-opcode write events need stack/memory traces or full
-            # re-execution (bus-mapping depth — later round).
-            wb.rw_rows.append(
-                RwRow(len(wb.rw_rows) + 1, tag, addr, key, value, True,
-                      is_bridge=True)
-            )
+    value %= 1 << 256
+    k = (tag, addr, key)
+    if not is_write and k in last and last[k] != value:
         wb.rw_rows.append(
-            RwRow(len(wb.rw_rows) + 1, tag, addr, key, value, is_write)
+            RwRow(len(wb.rw_rows) + 1, tag, addr, key, value, True,
+                  is_bridge=True)
         )
-        last[k] = value
+    wb.rw_rows.append(
+        RwRow(len(wb.rw_rows) + 1, tag, addr, key, value, is_write)
+    )
+    last[k] = value
 
+
+def _absorb_prestate(wb: WitnessBlock, er) -> None:
+    """Pre-tx account/storage reads with REAL values from the prestate
+    tracer (the bus-mapping access-list prologue)."""
     for addr_hex, acct in (er.prestate or {}).items():
         try:
             addr = int(addr_hex, 16)
         except (ValueError, TypeError):
             continue
-        emit(TAG_BALANCE, addr, 0, _hex_int(acct.get("balance")), False)
-        emit(TAG_NONCE, addr, 0, _hex_int(acct.get("nonce")), False)
+        _emit_rw(wb, TAG_BALANCE, addr, 0, _hex_int(acct.get("balance")), False)
+        _emit_rw(wb, TAG_NONCE, addr, 0, _hex_int(acct.get("nonce")), False)
         code = acct.get("code") or "0x"
         if code != "0x":
             cb = bytes.fromhex(code[2:])
             _add_bytecode(wb, cb)
-            emit(TAG_CODEHASH, addr, 0, int.from_bytes(keccak256(cb), "big"), False)
+            _emit_rw(wb, TAG_CODEHASH, addr, 0,
+                     int.from_bytes(keccak256(cb), "big"), False)
         for slot_hex, val_hex in (acct.get("storage") or {}).items():
-            emit(TAG_STORAGE, addr, _hex_int(slot_hex), _hex_int(val_hex), False)
+            _emit_rw(wb, TAG_STORAGE, addr, _hex_int(slot_hex),
+                     _hex_int(val_hex), False)
+
+
+def _absorb_account_after(wb: WitnessBlock, er) -> None:
+    """Post-tx account writes (accountAfter) closing each tx's rw slice."""
     for acct in er.account_after or []:
         try:
             addr = int(acct.get("address", "0x0"), 16)
         except (ValueError, TypeError):
             continue
-        emit(TAG_BALANCE, addr, 0, _hex_int(acct.get("balance")), True)
-        emit(TAG_NONCE, addr, 0, _hex_int(acct.get("nonce")), True)
+        _emit_rw(wb, TAG_BALANCE, addr, 0, _hex_int(acct.get("balance")), True)
+        _emit_rw(wb, TAG_NONCE, addr, 0, _hex_int(acct.get("nonce")), True)
         kh = acct.get("keccakCodeHash")
         if kh:
-            emit(TAG_CODEHASH, addr, 0, _hex_int(kh), True)
+            _emit_rw(wb, TAG_CODEHASH, addr, 0, _hex_int(kh), True)
+
+
+def _absorb_state(wb: WitnessBlock, er) -> None:
+    """Tx-granular rw slice (statistical fallback when the per-opcode
+    replay diverges): prestate reads then accountAfter writes."""
+    _absorb_prestate(wb, er)
+    _absorb_account_after(wb, er)
+
+
+def _absorb_replay(wb: WitnessBlock, er, repl, tx_index: int) -> None:
+    """Fold one tx's per-opcode replay (witness/replay.py) into the
+    witness tables: steps carry the REAL executing-frame code hash and
+    opcode byte (every frame participates in the evm->bytecode lookup,
+    including sub-calls and CREATE init code), EXP events carry real
+    operands, keccak events carry real SHA3 preimages, and copy/rw
+    statistics are exact counts rather than gas-derived estimates."""
+    for h, code in repl.codes.items():
+        _add_bytecode(wb, code)
+        wb.bytecodes.setdefault(f"{h:064x}", len(code))
+    for j, sl in enumerate(er.struct_logs):
+        wb.steps.append(
+            StepWitness(
+                sl.op, sl.pc, sl.gas_cost, sl.depth, tx_index,
+                code_hash=repl.step_code_hashes[j],
+                op_byte=repl.step_op_bytes[j],
+            )
+        )
+    wb.rw_ops += repl.stack_rw + repl.memory_rw + len(repl.storage_accesses)
+    wb.copy_bytes += sum(len(c.data) for c in repl.copy_events)
+    wb.exp_events += len(repl.exp_events)
+    wb.exp_real.extend(repl.exp_events)
+    seen = getattr(wb, "_sha3_seen", None)
+    if seen is None:
+        seen = wb._sha3_seen = set()
+    for pre in repl.sha3_events:
+        wb.keccak_inputs.append(pre)
+        dig = keccak256(pre)
+        if dig not in seen:
+            seen.add(dig)
+            wb.keccak_events.append(KeccakEvent(pre, dig))
 
 
 def _rw_of(op: str) -> int:

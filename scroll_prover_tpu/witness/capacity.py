@@ -138,7 +138,11 @@ def row_usage_of_witness_block(wb: WitnessBlock) -> RowUsage:
     est_bytes = sum(wb.tx_data_lens) + _TX_ENVELOPE_BYTES * wb.num_txs
     tx = math.ceil(_TX_ROWS_PER_BYTE * est_bytes)
     rlp = math.ceil(_RLP_ROWS_PER_BYTE * est_bytes) + 96 * wb.num_txs
-    exp = 8 * wb.exp_events
+    # replayed events carry real exponents (bit-length + closing row each);
+    # non-replayed events keep the canonical 8-row shape
+    exp = sum(
+        len(bin(e)[2:]) + 1 for (_b, e, _r) in wb.exp_real
+    ) + 8 * max(wb.exp_events - len(wb.exp_real), 0)
     mod_exp = _MODEXP_ROWS * wb.modexp_events
     pi = _PI_ROWS_PER_TX * wb.num_txs
     poseidon = _POSEIDON_ROWS_PER_NODE * (wb.mpt_nodes + len(wb.bytecodes))

@@ -400,7 +400,7 @@ class EvmSubCircuit:
 
         r = row0
         for i, s in enumerate(wb.steps):
-            ob = opcode_byte(s.op)
+            ob = s.op_byte if s.op_byte >= 0 else opcode_byte(s.op)
             adv[self.step.index][r] = i + 1
             adv[self.pc.index][r] = s.pc
             adv[self.op.index][r] = ob if ob >= 0 else op_encoding(s.op) + 0x200
@@ -543,10 +543,14 @@ class ExpSubCircuit:
         return self
 
     def assign(self, cs, fixed, adv, n, wb: WitnessBlock, row0: int) -> int:
+        # real operands from the per-opcode replay (witness/replay.py);
+        # non-replayed txs' events keep the canonical shape. The ladder runs
+        # in Fr (the EVM's mod-2^256 wrap is the word-arithmetic deepening).
+        events = [(b % FR_MOD, e) for (b, e, _r) in wb.exp_real]
+        events += [(3, 0b1011)] * max(wb.exp_events - len(wb.exp_real), 0)
         r = row0
-        for _ in range(wb.exp_events):
-            base, exp = 3, 0b1011  # canonical event shape; real operands are
-            acc = 1                 # threaded from the EVM table next round
+        for base, exp in events:
+            acc = 1
             bits = bin(exp)[2:]
             for i, bit in enumerate(bits):
                 adv[self.base.index][r] = base
