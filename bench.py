@@ -40,7 +40,7 @@ REPS = 6
 # 20-40 s/kernel and the tile engine builds several
 STAGE_TIMEOUT = {
     "probe": 90, "tiled": 420, "fast": 300, "scan": 240, "msm": 420,
-    "msm20": 560, "quotient20": 560, "cpu": 420,
+    "msm20": 560, "quotient20": 560, "prove20": 580, "cpu": 420,
 }
 
 
@@ -233,6 +233,70 @@ def stage_quotient20() -> float:
     return max((time.perf_counter() - t0) - rtt, 1e-9) / 3
 
 
+def stage_prove20() -> float:
+    """FULL PLONK prove at k=20 on the chip, host-verified (VERDICT round-2
+    item 2: 'inner-proof wall-clock at k=20'). Real protocol work at the
+    reference's inner degree: 2^20 domain, 2^22 extended coset quotient,
+    ~16 device MSMs at 2^20 points, batched column NTTs, device grand
+    products. The circuit is a gate+lookup+copy workload (the protocol cost
+    is set by the degree and column count, not the gate content); SRS is
+    synthesized on device (ops/fixed_base.py)."""
+    from scroll_prover_tpu.fields.bn254 import FR_MOD
+    from scroll_prover_tpu.proof_system import kzg
+    from scroll_prover_tpu.proof_system.plonk import Circuit, ConstraintSystem
+    from scroll_prover_tpu.proof_system.plonk.cs import empty_assignment
+    from scroll_prover_tpu.proof_system.plonk.keygen import keygen
+    from scroll_prover_tpu.proof_system.plonk.prover import prove
+    from scroll_prover_tpu.proof_system.plonk.verifier import verify
+
+    ROWS = 4096
+
+    class BenchCircuit(Circuit):
+        def configure(self, cs):
+            self.a = cs.advice_column()
+            self.b = cs.advice_column()
+            self.c = cs.advice_column()
+            self.sel = cs.selector()
+            self.tbl = cs.fixed_column()
+            self.pi = cs.instance_column()
+            cs.gate(
+                "mul",
+                self.sel.query()
+                * (self.a.query() * self.b.query() - self.c.query()),
+            )
+            cs.lookup(
+                "a_range", [self.sel.query() * self.a.query()], [self.tbl.query()]
+            )
+
+        def assign(self, cs, n, instance):
+            fixed = empty_assignment(cs.num_fixed, n)
+            advice = empty_assignment(cs.num_advice, n)
+            pi0 = int(instance[self.pi.index][0])
+            for i in range(ROWS):
+                a = (pi0 + i) % (2 * ROWS)
+                b = i + 5
+                advice[self.a.index][i] = a
+                advice[self.b.index][i] = b
+                advice[self.c.index][i] = a * b % FR_MOD
+                fixed[self.sel.index][i] = 1
+            for i in range(2 * ROWS):
+                fixed[self.tbl.index][i] = i
+            if not getattr(cs, "_copied", False):
+                cs.copy(self.pi, 0, self.a, 0)
+                cs._copied = True
+            return {"fixed": fixed, "advice": advice}
+
+    instance = [[7]]
+    circ = BenchCircuit()
+    srs = kzg.SRS.generate_fast(20)
+    pk, vk = keygen(srs, 20, circ, instance)
+    t0 = time.perf_counter()
+    proof = prove(srs, pk, circ, instance)
+    dt = time.perf_counter() - t0
+    assert verify(srs, vk, instance, proof), "k=20 proof failed verification"
+    return dt
+
+
 STAGES = {
     "probe": stage_probe,
     "tiled": stage_tiled,
@@ -241,6 +305,7 @@ STAGES = {
     "msm": stage_msm,
     "msm20": stage_msm20,
     "quotient20": stage_quotient20,
+    "prove20": stage_prove20,
     "cpu": stage_cpu,
 }
 
@@ -307,6 +372,10 @@ def main():
             # coset-NTT -> gate eval -> iNTT at the inner-circuit size: the
             # per-column prover hot path (VERDICT round-2 item 2)
             extra["quotient_step_2pow20_wall_s"] = round(q_dt, 6)
+        p_dt = _run_stage("prove20")
+        if p_dt is not None:
+            # full verified PLONK proof at the reference inner degree
+            extra["plonk_prove_k20_wall_s"] = round(p_dt, 3)
     print(
         json.dumps(
             {

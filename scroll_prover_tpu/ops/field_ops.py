@@ -292,21 +292,17 @@ def batch_inv_mont(f: LimbField, a):
     z = is_zero(a)
     ones = one_mont(f, a.shape[:-1])
     a_safe = select(z, ones, a)
-    # prefix products via associative scan on leading axis
-    pref = jax.lax.associative_scan(lambda x, y: mont_mul(f, x, y), a_safe, axis=0)
+    # inv[i] = prefix_excl[i] * suffix_excl[i] * total^{-1}: two log-depth
+    # associative scans + one Fermat inversion. (The earlier backward-sweep
+    # lax.scan was O(n) *sequential* device steps — seconds at n=2^20.)
+    mul = lambda x, y: mont_mul(f, x, y)
+    pref = jax.lax.associative_scan(mul, a_safe, axis=0)
+    suff = jax.lax.associative_scan(mul, a_safe, axis=0, reverse=True)
     total_inv = inv_mont(f, pref[-1])
-    one_vec = one_mont(f)
-
-    def body(carry, idx):
-        # carry = inverse of prefix product up to idx (inclusive)
-        prev = jnp.where(idx == 0, one_vec, pref[jnp.maximum(idx - 1, 0)])
-        inv_elem = mont_mul(f, carry, prev)
-        new_carry = mont_mul(f, carry, a_safe[idx])
-        return new_carry, inv_elem
-
-    idxs = jnp.arange(a.shape[0] - 1, -1, -1)
-    _, invs_rev = jax.lax.scan(body, total_inv, idxs)
-    invs = invs_rev[::-1]
+    one_row = one_mont(f, (1,))
+    pref_ex = jnp.concatenate([one_row, pref[:-1]], axis=0)
+    suff_ex = jnp.concatenate([suff[1:], one_row], axis=0)
+    invs = mul(mul(pref_ex, suff_ex), jnp.broadcast_to(total_inv, a.shape))
     return select(z, jnp.zeros_like(a), invs)
 
 

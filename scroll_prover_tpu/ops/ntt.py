@@ -238,6 +238,58 @@ class EvaluationDomain:
             )
         return fo.mont_mul(self.field, x, self._table("coset_pow_inv"))
 
+    # --- batched transforms (many columns, one dispatch chain) ------------
+    #
+    # The prover transforms ~50 same-length columns per phase (advice,
+    # lookup permuted columns, grand products, quotient extension — see
+    # plonk/prover.py). Per-column dispatch over the tunneled backend costs
+    # more than the math at production sizes (docs/PERF.md); these batch
+    # entry points run C columns through ONE traced graph. x: (C, n, L).
+
+    def ntt_batch(self, x) -> jnp.ndarray:
+        assert x.ndim == 3 and x.shape[1] == self.n
+        td = self._tiled(False)
+        if td:
+            return td.ntt_batch(x)
+        y = jax.vmap(lambda v: _ntt_dif(self.field, v, self._table("tw")))(x)
+        return jnp.take(y, self._table("bitrev"), axis=1)
+
+    def intt_batch(self, y) -> jnp.ndarray:
+        assert y.ndim == 3 and y.shape[1] == self.n
+        td = self._tiled(False)
+        if td:
+            return td.intt_batch(y)
+        x = jax.vmap(lambda v: _ntt_dif(self.field, v, self._table("tw_inv")))(y)
+        x = jnp.take(x, self._table("bitrev"), axis=1)
+        return fo.mont_mul(
+            self.field, x, self._scalar_mont(self.n_inv)[None, None, :]
+        )
+
+    def ntt_extended_batch(self, x) -> jnp.ndarray:
+        assert x.ndim == 3 and x.shape[1] == self.extended_n
+        x = fo.mont_mul(self.field, x, self._table("coset_pow")[None])
+        td = self._tiled(True)
+        if td:
+            return td.ntt_batch(x)
+        y = jax.vmap(lambda v: _ntt_dif(self.field, v, self._table("tw_ext")))(x)
+        return jnp.take(y, self._table("bitrev_ext"), axis=1)
+
+    def intt_extended_batch(self, y) -> jnp.ndarray:
+        assert y.ndim == 3 and y.shape[1] == self.extended_n
+        td = self._tiled(True)
+        if td:
+            x = td.intt_batch(y)
+        else:
+            x = jax.vmap(
+                lambda v: _ntt_dif(self.field, v, self._table("tw_ext_inv"))
+            )(y)
+            x = jnp.take(x, self._table("bitrev_ext"), axis=1)
+            x = fo.mont_mul(
+                self.field, x,
+                self._scalar_mont(self.extended_n_inv)[None, None, :],
+            )
+        return fo.mont_mul(self.field, x, self._table("coset_pow_inv")[None])
+
     # --- host-side helpers (testing / verifier) ---------------------------
 
     def omega_powers(self, n: int | None = None) -> list[int]:

@@ -374,10 +374,44 @@ class TiledDomain:
         """(n, L) natural-order evaluations -> coefficients."""
         return self._transform(y, True)
 
+    # --- batched entry points (C columns, one dispatch chain) -------------
+    # The kernel geometry already carries a batch axis (the lane tile);
+    # putting the column count there amortizes the per-pass dispatch
+    # latency that dominates single-column wall-clock on the tunneled
+    # backend (docs/PERF.md).
+
+    def _transform_batch(self, x, inverse: bool):
+        lm = _to_lm_batch(x)  # (L, C, n)
+        out = self._run(lm, self.k, self._tables[inverse], 0)
+        return _finish_batch(out, self._perm, self._n_inv if inverse else None)
+
+    def ntt_batch(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(C, n, L) Montgomery coefficients -> natural-order evaluations."""
+        return self._transform_batch(x, False)
+
+    def intt_batch(self, y: jnp.ndarray) -> jnp.ndarray:
+        """(C, n, L) natural-order evaluations -> coefficients."""
+        return self._transform_batch(y, True)
+
 
 @jax.jit
 def _to_lm(x):
     return x.T[:, None, :]
+
+
+@jax.jit
+def _to_lm_batch(x):
+    return x.transpose(2, 0, 1)
+
+
+@jax.jit
+def _finish_batch(out, perm, n_inv):
+    from . import field_ops as fo
+
+    y = jnp.take(out, perm, axis=2).transpose(1, 2, 0)  # (C, n, L)
+    if n_inv is not None:
+        return fo.mont_mul(F, y, jnp.broadcast_to(n_inv, y.shape))
+    return y
 
 
 @functools.partial(jax.jit, static_argnames=())

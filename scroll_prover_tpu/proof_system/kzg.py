@@ -78,6 +78,58 @@ class SRS:
         _SRS_CACHE[key] = srs
         return srs
 
+    @classmethod
+    def generate_fast(cls, k: int, seed: bytes = b"scroll-prover-tpu-test-srs"):
+        """Device-path twin of generate(): the tau-power and Lagrange
+        scalars, the fixed-base G1 multiplications, and the batched affine
+        normalization all run on device (ops/fixed_base.py) — seconds at
+        2^20 where the host window walk takes hours. Bit-identical points
+        to generate() (exact integer arithmetic either way)."""
+        key = (k, seed)
+        if key in _SRS_CACHE:
+            return _SRS_CACHE[key]
+        from ..ops.fixed_base import fixed_base_mul_dev
+        from ..fields.limbs import FQ_LIMB, limbs_to_ints
+
+        tau = int.from_bytes(hashlib.sha512(seed).digest(), "little") % FR_MOD
+        n = 1 << k
+        F = FR_LIMB
+        tau_m = jnp.asarray(ints_to_limbs([tau * (1 << 256) % FR_MOD])[0])
+        pow_m = poly_ops.powers_mont(F, tau_m, n)  # tau^i, Montgomery
+        # L_i(tau) = w^i (tau^n - 1) / (n (tau - w^i)) — all on device
+        omega = pow(FR_ROOT_OF_UNITY, 1 << (FR_TWO_ADICITY - k), FR_MOD)
+        om_m = poly_ops.powers_mont(F, jnp.asarray(
+            ints_to_limbs([omega * (1 << 256) % FR_MOD])[0]), n)
+        denom = fo.sub_mod(F, jnp.broadcast_to(tau_m, (n, N_LIMBS)), om_m)
+        vanish_ninv = (pow(tau, n, FR_MOD) - 1) % FR_MOD * pow(n, -1, FR_MOD) % FR_MOD
+        vn_m = jnp.asarray(ints_to_limbs([vanish_ninv * (1 << 256) % FR_MOD])[0])
+        lag_m = fo.mont_mul(
+            F,
+            fo.mont_mul(F, om_m, fo.batch_inv_mont(F, denom)),
+            jnp.broadcast_to(vn_m, (n, N_LIMBS)),
+        )
+        g = g1_generator()
+
+        def pts(scalars_m):
+            dev = fixed_base_mul_dev(g, fo.from_mont(F, scalars_m))
+            flat = fo.from_mont(FQ_LIMB, dev.reshape(2 * n, N_LIMBS))
+            ints = limbs_to_ints(np.asarray(flat))
+            out = []
+            for i in range(n):
+                x, y = ints[2 * i], ints[2 * i + 1]
+                out.append(None if x == y == 0 else (x, y))
+            return out, dev
+
+        g1_powers, dev_powers = pts(pow_m)
+        g1_lagrange, dev_lagrange = pts(lag_m)
+        h = g2_generator()
+        srs = cls(k, g1_powers, g1_lagrange, h, G2.mul(h, tau))
+        # the device views are already affine-Montgomery — keep them
+        srs._dev_powers = dev_powers
+        srs._dev_lagrange = dev_lagrange
+        _SRS_CACHE[key] = srs
+        return srs
+
     def downsize(self, k: int) -> "SRS":
         """Smaller-degree view: truncate monomial powers; Lagrange basis is
         rebuilt by a device group-iNTT over the truncated powers —

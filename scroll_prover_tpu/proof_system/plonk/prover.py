@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import logging
+import os
 import time
 from dataclasses import dataclass
 
@@ -93,6 +94,33 @@ class _Queries:
         for c in cs.perm_columns:  # permutation argument queries rot 0
             {"advice": adv, "fixed": fix, "instance": inst}[c.kind].add((c.index, 0))
         return cls(sorted(adv), sorted(fix), sorted(inst))
+
+
+def _ntt_group(n: int) -> int:
+    """Columns per batched NTT dispatch: cap the stacked working set at
+    ~SPT_NTT_BATCH_BUDGET field elements (default 2^24 = 1 GiB of u32x16
+    limbs) so k=20+ domains don't blow HBM while small domains batch all
+    ~50 prover columns into one traced graph (docs/PERF.md item 1)."""
+    budget = int(os.environ.get("SPT_NTT_BATCH_BUDGET", str(1 << 24)))
+    return max(1, budget // max(n, 1))
+
+
+def _intt_cols(dom, cols) -> list:
+    """Batched inverse-NTT over same-length columns (one dispatch chain per
+    group instead of one per column — the tunnel round-trip dominated
+    per-column wall-clock at production sizes)."""
+    cols = list(cols)
+    if len(cols) <= 1:
+        return [dom.intt(c) for c in cols]
+    out: list = []
+    g = _ntt_group(dom.n)
+    for i in range(0, len(cols), g):
+        grp = cols[i : i + g]
+        if len(grp) == 1:
+            out.append(dom.intt(grp[0]))
+        else:
+            out.extend(dom.intt_batch(jnp.stack(grp)))
+    return out
 
 
 def _n_h(cs: ConstraintSystem, dom) -> int:
@@ -189,7 +217,7 @@ def prove(
         )
 
     # --- phase 1: advice commitments -------------------------------------
-    advice_polys = [dom.intt(a) for a in advice_dev]
+    advice_polys = _intt_cols(dom, advice_dev)
     for p in advice_polys:
         tr.write_point(kzg_commit(srs, p))
 
@@ -223,11 +251,15 @@ def prove(
             {"a": a_vals, "s": s_vals, "a_perm": a_perm, "s_perm": s_perm,
              "a_dev": a_dev, "s_dev": s_dev}
         )
-    for i, lk in enumerate(lookups):
+    for lk in lookups:
         lk["a_perm_dev"] = _encode_mont(lk["a_perm"])
         lk["s_perm_dev"] = _encode_mont(lk["s_perm"])
-        lk["a_poly"] = dom.intt(lk["a_perm_dev"])
-        lk["s_poly"] = dom.intt(lk["s_perm_dev"])
+    lk_polys = _intt_cols(
+        dom, [d for lk in lookups for d in (lk["a_perm_dev"], lk["s_perm_dev"])]
+    )
+    for i, lk in enumerate(lookups):
+        lk["a_poly"] = lk_polys[2 * i]
+        lk["s_poly"] = lk_polys[2 * i + 1]
         tr.write_point(kzg_commit(srs, lk["a_poly"]))
         tr.write_point(kzg_commit(srs, lk["s_poly"]))
 
@@ -285,11 +317,11 @@ def prove(
         z, last_z = grand_product(num, den, last_z)
         perm_z_devs.append(with_blinding(z, f"permz{len(perm_z_devs)}"))
 
-    perm_z_polys = [dom.intt(z) for z in perm_z_devs]
+    perm_z_polys = _intt_cols(dom, perm_z_devs)
     for p in perm_z_polys:
         tr.write_point(kzg_commit(srs, p))
 
-    lookup_z_polys = []
+    lookup_z_devs = []
     one_sc = fo.one_mont(F)
     for li, lk in enumerate(lookups):
         num = fo.mont_mul(
@@ -301,9 +333,9 @@ def prove(
             fo.add_mod(F, lk["s_perm_dev"], gamma_b),
         )
         z, _ = grand_product(num, den, one_sc)
-        z = with_blinding(z, f"lkz{li}")
-        zp = dom.intt(z)
-        lookup_z_polys.append(zp)
+        lookup_z_devs.append(with_blinding(z, f"lkz{li}"))
+    lookup_z_polys = _intt_cols(dom, lookup_z_devs)
+    for zp in lookup_z_polys:
         tr.write_point(kzg_commit(srs, zp))
 
     # --- phase 4: vanishing / quotient ------------------------------------
@@ -312,7 +344,7 @@ def prove(
     tr.write_point(kzg_commit(srs, random_poly))
     y = tr.squeeze_challenge()
 
-    instance_polys = [dom.intt(a) for a in inst_dev]
+    instance_polys = _intt_cols(dom, inst_dev)
     h_chunk_polys = _build_quotient(
         pk, dom, cs, advice_polys, [p for p in pk.fixed_polys],
         instance_polys,
@@ -499,6 +531,32 @@ def _build_quotient(
             cache[tag] = dom.ntt_extended(jnp.concatenate([polyc, pad]))
         return cache[tag]
 
+    def prefetch_ext(pairs):
+        """Run all pending extended NTTs as batched dispatches (grouped to a
+        fixed HBM budget) instead of one chain per column."""
+        pend = [(t, p) for t, p in pairs if t not in cache]
+        g = _ntt_group(ext_n)
+        for i in range(0, len(pend), g):
+            grp = pend[i : i + g]
+            if len(grp) == 1:
+                ext(grp[0][1], grp[0][0])
+                continue
+            stacked = jnp.stack(
+                [
+                    jnp.concatenate(
+                        [
+                            p,
+                            jnp.zeros(
+                                (ext_n - p.shape[0], p.shape[1]), jnp.uint32
+                            ),
+                        ]
+                    )
+                    for _, p in grp
+                ]
+            )
+            for (t, _), r in zip(grp, dom.ntt_extended_batch(stacked)):
+                cache[t] = r
+
     def q(kind, col, rot):
         polyc = {
             "advice": advice_polys,
@@ -514,6 +572,30 @@ def _build_quotient(
     def const(c):
         return _bcast(_mont_scalar(c), ext_n)
 
+    # batched prefetch of every extended transform the constraint walk will
+    # ask for (queried columns, sigmas, grand products, lookup columns,
+    # lagrange indicators) — ONE dispatch chain per HBM-budget group
+    lact_vals = [1] * u + [0] * (n - u)
+    lact_poly = dom.intt(_encode_mont(lact_vals))
+    qs = _Queries.from_cs(cs)
+    by_kind = {"advice": advice_polys, "fixed": fixed_polys,
+               "instance": instance_polys}
+    plan: list[tuple] = []
+    for kind in ("advice", "fixed", "instance"):
+        for col in sorted({c for c, _ in getattr(qs, kind)}):
+            plan.append(((kind, col), by_kind[kind][col]))
+    if perm_z_polys:
+        plan += [(("sigma", jj), sigma_polys[jj]) for jj in range(len(cs.perm_columns))]
+        plan += [(("permz", a), zp) for a, zp in enumerate(perm_z_polys)]
+    for li, lk in enumerate(lookups):
+        plan += [
+            (("lkz", li), lookup_z_polys[li]),
+            (("lka", li), lk["a_poly"]),
+            (("lks", li), lk["s_poly"]),
+        ]
+    plan += [("l0", pk.l0), ("l_last", pk.l_last), ("l_active", lact_poly)]
+    prefetch_ext(plan)
+
     terms = []
     for _, expr in cs.gates:
         terms.append(
@@ -527,11 +609,9 @@ def _build_quotient(
             )
         )
 
-    # lagrange indicators on extended domain
+    # lagrange indicators on extended domain (prefetched above)
     l0_e = ext(pk.l0, "l0")
     llast_e = ext(pk.l_last, "l_last")
-    lact_vals = [1] * u + [0] * (n - u)
-    lact_poly = dom.intt(_encode_mont(lact_vals))
     lact_e = ext(lact_poly, "l_active")
 
     # X values on the extended coset: g_coset * extended_omega^i (device)

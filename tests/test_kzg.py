@@ -75,3 +75,17 @@ def test_poly_ops_basics(rng):
     assert got == (3 + 2 * z + z * z + 7 * z**3) % FR_MOD
     pw = poly_ops.powers_mont(f, zm, 6)
     assert f.decode(np.asarray(pw)) == [pow(z, i, FR_MOD) for i in range(6)]
+
+
+def test_generate_fast_matches_host_generate():
+    # device-path SRS synthesis (ops/fixed_base.py) must be bit-identical
+    # to the host window walk — it feeds the k=20 bench prover
+    from scroll_prover_tpu.proof_system.kzg import _SRS_CACHE
+
+    seed = b"fixed-base-parity"
+    a = kzg.SRS.generate(5, seed=seed)
+    _SRS_CACHE.pop((5, seed))
+    b = kzg.SRS.generate_fast(5, seed=seed)
+    assert a.g1_powers == b.g1_powers
+    assert a.g1_lagrange == b.g1_lagrange
+    assert (a.g2, a.s_g2) == (b.g2, b.s_g2)

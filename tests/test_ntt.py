@@ -71,3 +71,28 @@ def test_polynomial_multiplication_via_ntt(rng):
         for j_, bj in enumerate(b):
             want[i + j_] = (want[i + j_] + ai * bj) % FR_MOD
     assert prod == want
+
+
+def test_batch_transforms_match_per_column(rng):
+    from scroll_prover_tpu.ops import field_ops as fo
+
+    d = EvaluationDomain(5, j=1)
+    cols = [_rand_poly(rng, d.n) for _ in range(3)]
+    x = jnp.asarray(np.stack([FR_LIMB.encode(c) for c in cols]))
+    xb = d.ntt_batch(x)
+    for c in range(3):
+        np.testing.assert_array_equal(np.asarray(xb[c]), np.asarray(d.ntt(x[c])))
+    back = d.intt_batch(xb)
+    for c in range(3):
+        assert FR_LIMB.decode(np.asarray(back[c])) == cols[c]
+    # extended coset batch
+    pad = jnp.zeros((3, d.extended_n - d.n, x.shape[-1]), jnp.uint32)
+    xe = jnp.concatenate([x, pad], axis=1)
+    eb = d.ntt_extended_batch(xe)
+    for c in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(eb[c]), np.asarray(d.ntt_extended(xe[c]))
+        )
+    backe = d.intt_extended_batch(eb)
+    for c in range(3):
+        np.testing.assert_array_equal(np.asarray(backe[c]), np.asarray(xe[c]))

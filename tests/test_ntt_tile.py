@@ -54,3 +54,13 @@ def test_dispatch_stays_on_scan_for_cpu():
     # engine (pallas TPU kernels don't run on the CPU backend).
     dom = EvaluationDomain(4)
     assert dom._tiled(False) is False
+
+
+def test_tiled_batch_matches_per_column(data):
+    td = TiledDomain(K, interpret=True)
+    cols = jnp.stack([data, jnp.roll(data, 7, axis=0), data[::-1], data])
+    got = np.asarray(td.ntt_batch(cols))
+    for c in range(cols.shape[0]):
+        np.testing.assert_array_equal(got[c], np.asarray(td.ntt(cols[c])))
+    back = np.asarray(td.intt_batch(jnp.asarray(got)))
+    np.testing.assert_array_equal(back, np.asarray(cols))
