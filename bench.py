@@ -30,6 +30,24 @@ import time
 
 import numpy as np
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (shared with tests' .jax_cache):
+    the axon tunnel's compile+dispatch latency is highly variable (a no-op
+    jit was measured at 6 s and at 111 s on the same day), so every stage
+    re-compiling from scratch can blow its timeout. Warm runs during the
+    round populate the cache; the driver's round-end run then loads
+    serialized executables instead of recompiling."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # older jax without these knobs: run uncached
+
+
 RUST_CPU_NTT_2POW20_S = 0.35  # estimated reference anchor (no published number)
 RUST_CPU_MSM_2POW16_S = 0.35  # ~0.19 Mpts/s/thread * 16 threads ≈ 3 Mpts/s est.
 K = 20
@@ -281,9 +299,7 @@ def stage_prove20() -> float:
                 fixed[self.sel.index][i] = 1
             for i in range(2 * ROWS):
                 fixed[self.tbl.index][i] = i
-            if not getattr(cs, "_copied", False):
-                cs.copy(self.pi, 0, self.a, 0)
-                cs._copied = True
+            cs.copy(self.pi, 0, self.a, 0)  # idempotent (cs dedupes)
             return {"fixed": fixed, "advice": advice}
 
     instance = [[7]]
@@ -391,6 +407,7 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) == 3 and sys.argv[1] == "--stage":
+        _enable_compile_cache()
         print(STAGES[sys.argv[2]]())
     else:
         main()

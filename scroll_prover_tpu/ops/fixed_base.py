@@ -47,13 +47,21 @@ def _host_table(base_affine) -> np.ndarray:
     return np.stack([ec.encode_affine_mont(r) for r in rows])
 
 
+# bounded per-base table cache (ADVICE round-2): each table is
+# WINDOWS * 2^C_BITS * 2 * L u32s (~1 MiB at c=4); in practice only the
+# G1 generator is ever used, but an adversarial caller cycling bases must
+# not grow host memory without bound. FIFO eviction is fine — rebuilding
+# a table is milliseconds.
 _TABLES: dict = {}
+_TABLES_MAX = 8
 
 
 def _table_for(base_affine) -> jnp.ndarray:
     key = base_affine
     t = _TABLES.get(key)
     if t is None:
+        if len(_TABLES) >= _TABLES_MAX:
+            _TABLES.pop(next(iter(_TABLES)))
         t = jnp.asarray(_host_table(base_affine))
         _TABLES[key] = t
     return t
@@ -97,7 +105,14 @@ def _normalize(p: ec.PointP):
 
 def fixed_base_mul_dev(base_affine, scalars_std: jnp.ndarray) -> jnp.ndarray:
     """base_affine: host affine int pair; scalars_std: (n, L) standard-form
-    limbs. Returns (n, 2, L) Montgomery affine points s_i * base. Scalars
-    must be nonzero mod r (SRS powers/Lagrange scalars always are)."""
+    limbs. Returns (n, 2, L) Montgomery affine points s_i * base.
+
+    A zero scalar yields the all-zero (0, 0) row: the accumulator stays the
+    projective identity (z = 0) and batch_inv_mont maps z = 0 to 0, so
+    x = y = 0 after normalization. That is exactly the identity encoding
+    shared with ec.encode_affine_mont / kzg's point decoders (which map
+    x == y == 0 back to None), so zero scalars are safe end-to-end
+    (ADVICE round-2: the convention is now load-bearing and documented,
+    not an unchecked precondition)."""
     table = _table_for(base_affine)
     return _normalize(_accumulate(table, _digits(scalars_std)))

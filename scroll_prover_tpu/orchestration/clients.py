@@ -44,19 +44,39 @@ class L2gethClient:
     def get_block_number(self) -> int:
         return int(self._rpc("eth_blockNumber", []), 16)
 
-    def get_block_trace_by_num(self, number: int):
+    def get_block_trace_by_num(self, number: int, override_curie: bool = False):
+        """Fetch a block trace. With override_curie=True the node is asked to
+        force the Curie hard fork while tracing via the chain-config override
+        {"overrides": {"curieBlock": 1}} — parity with the reference's
+        get_block_trace_by_num(…, override_curie) (integration/src/l2geth.rs:
+        36-66; any small curieBlock value works, 1 chosen like the
+        reference)."""
         from ..l2types.block_trace import BlockTrace
 
-        res = self._rpc(
-            "scroll_getBlockTraceByNumberOrHash",
-            [hex(number), {"ExcludeExecutionResults": False}],
+        params = (
+            [hex(number), {"overrides": {"curieBlock": 1}}]
+            if override_curie
+            else [hex(number), {"StorageProofFormat": "legacy"}]
         )
+        res = self._rpc("scroll_getBlockTraceByNumberOrHash", params)
         return BlockTrace.from_json(res)
+
+    def get_block_trace_raw(self, number: int) -> dict:
+        """Raw trace JSON as returned by the node — what the fixture dumper
+        persists byte-for-byte (reference trace_dumper.py saves
+        response.json()['result'] verbatim)."""
+        return self._rpc(
+            "scroll_getBlockTraceByNumberOrHash",
+            [hex(number), {"StorageProofFormat": "legacy"}],
+        )
 
     def get_txbytx_trace_by_num(self, number: int):
         from ..l2types.block_trace import BlockTrace
 
-        res = self._rpc("scroll_getTxByTxBlockTrace", [hex(number)])
+        res = self._rpc(
+            "scroll_getTxByTxBlockTrace",
+            [hex(number), {"StorageProofFormat": "legacy"}],
+        )
         return [BlockTrace.from_json(t) for t in res]
 
 

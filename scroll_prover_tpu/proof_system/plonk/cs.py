@@ -52,6 +52,7 @@ class ConstraintSystem:
         self.perm_columns: list[ColumnRef] = []
         # copies: list of ((colref, row), (colref, row))
         self.copies: list[tuple[tuple[ColumnRef, int], tuple[ColumnRef, int]]] = []
+        self._copy_set: set = set()
 
     # -- declaration ------------------------------------------------------
     def fixed_column(self) -> ColumnRef:
@@ -88,6 +89,15 @@ class ConstraintSystem:
             self.perm_columns.append(col)
 
     def copy(self, a: ColumnRef, a_row: int, b: ColumnRef, b_row: int):
+        """Constrain cell (a, a_row) == (b, b_row). Idempotent: re-registering
+        an identical copy is ignored, because keygen's sigma construction is a
+        cycle SPLICE (keygen._build_next) — applying the same transposition
+        twice would undo it. This lets circuits register data-dependent copies
+        inside assign(), which runs once in keygen and again in prove()."""
+        key = (a, a_row, b, b_row)
+        if key in self._copy_set:
+            return
+        self._copy_set.add(key)
         self.enable_permutation(a)
         self.enable_permutation(b)
         self.copies.append(((a, a_row), (b, b_row)))

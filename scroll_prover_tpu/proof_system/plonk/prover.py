@@ -96,13 +96,30 @@ class _Queries:
         return cls(sorted(adv), sorted(fix), sorted(inst))
 
 
+def _parse_ntt_budget() -> int:
+    """SPT_NTT_BATCH_BUDGET parsed once at import (ADVICE round-2: a
+    malformed value must fail loudly at config time, not deep in prove())."""
+    raw = os.environ.get("SPT_NTT_BATCH_BUDGET")
+    if raw is None:
+        return 1 << 24
+    try:
+        return int(raw)
+    except ValueError as e:
+        raise ValueError(
+            f"SPT_NTT_BATCH_BUDGET must be an integer (field-element budget "
+            f"per batched NTT dispatch), got {raw!r}"
+        ) from e
+
+
+_NTT_BATCH_BUDGET = _parse_ntt_budget()
+
+
 def _ntt_group(n: int) -> int:
     """Columns per batched NTT dispatch: cap the stacked working set at
     ~SPT_NTT_BATCH_BUDGET field elements (default 2^24 = 1 GiB of u32x16
     limbs) so k=20+ domains don't blow HBM while small domains batch all
     ~50 prover columns into one traced graph (docs/PERF.md item 1)."""
-    budget = int(os.environ.get("SPT_NTT_BATCH_BUDGET", str(1 << 24)))
-    return max(1, budget // max(n, 1))
+    return max(1, _NTT_BATCH_BUDGET // max(n, 1))
 
 
 def _intt_cols(dom, cols) -> list:

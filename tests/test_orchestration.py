@@ -74,6 +74,28 @@ def test_l2geth_client_fake_transport():
     assert t.number == 16 and t.chain_id == 5
 
 
+def test_l2geth_client_curie_override_param():
+    """override_curie=True sends the chain-config override the reference
+    sends (integration/src/l2geth.rs:43-62); default requests legacy
+    storage-proof format."""
+    trace_json = {
+        "chainID": 5, "version": "t", "coinbase": {"address": "0x0"},
+        "header": {"number": "0x10"}, "transactions": [],
+        "storageTrace": {}, "executionResults": [],
+    }
+    seen = []
+
+    def transport(payload):
+        seen.append(payload["params"])
+        return {"jsonrpc": "2.0", "id": 1, "result": trace_json}
+
+    c = L2gethClient("http://fake", transport=transport)
+    c.get_block_trace_by_num(16, override_curie=True)
+    c.get_block_trace_by_num(16)
+    assert seen[0] == ["0x10", {"overrides": {"curieBlock": 1}}]
+    assert seen[1] == ["0x10", {"StorageProofFormat": "legacy"}]
+
+
 def test_rollupscan_client_fake_transport():
     def transport(url):
         assert "batch_index=3" in url
@@ -119,3 +141,56 @@ def test_chain_prover_block_mode_fake_client(tmp_path, monkeypatch):
     )
     cp.prove_by_block(setting, FakeClient())
     cp.txtx_ccc(setting, FakeClient())
+
+
+def test_trace_dumper_batch_layout(tmp_path):
+    """scripts/trace_dumper.py writes the extra_traces/batch_*/chunk_*/
+    block_*.json layout load_batch consumes, skips existing files on resume,
+    and saves the raw node JSON verbatim (reference trace_dumper.py)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "trace_dumper",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "trace_dumper.py"),
+    )
+    td = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(td)
+
+    trace_json = {
+        "chainID": 5, "version": "t", "coinbase": {"address": "0x0"},
+        "header": {"number": "0x10"}, "transactions": [],
+        "storageTrace": {}, "executionResults": [],
+    }
+    calls = []
+
+    def rpc_transport(payload):
+        calls.append(payload["params"][0])
+        return {"jsonrpc": "2.0", "id": 1, "result": trace_json}
+
+    def scan_transport(url):
+        return {
+            "batch_index": 7,
+            "chunks": [
+                {"index": 1, "start_block_number": 100, "end_block_number": 101},
+                {"index": 2, "start_block_number": 102, "end_block_number": 102},
+            ],
+        }
+
+    l2geth = L2gethClient("http://fake", transport=rpc_transport)
+    scan = RollupscanClient("http://fake", transport=scan_transport)
+    res = td.dump_batch(l2geth, scan, 7, str(tmp_path))
+    assert res == {1: 2, 2: 1}
+    from scroll_prover_tpu.utils.test_util import load_batch
+
+    chunks = load_batch(str(tmp_path / "batch_7"))
+    assert [len(c) for c in chunks] == [2, 1]
+    assert chunks[0][0].chain_id == 5
+    # raw JSON persisted verbatim
+    import json as _json
+
+    with open(tmp_path / "batch_7" / "chunk_1" / "block_100.json") as fh:
+        assert _json.load(fh) == trace_json
+    # resume: second run fetches nothing
+    assert td.dump_batch(l2geth, scan, 7, str(tmp_path)) == {1: 0, 2: 0}
+    # only_chunk filter
+    assert td.dump_batch(l2geth, scan, 7, str(tmp_path), only_chunk=2) == {2: 0}

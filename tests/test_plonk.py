@@ -64,11 +64,10 @@ class MulCircuit(Circuit):
             vals.remove(9)  # pi0=7 -> a[2]=9 falls out of the table
         for i, v in enumerate(vals):
             fixed[self.tbl.index][i] = v
-        # copies: pi[0] == a[0]; c[0] == b[1]-ish copy inside advice
-        if not hasattr(cs, "_copied"):
-            cs.copy(self.pi, 0, self.a, 0)
-            cs.copy(self.c, 0, self.c, 0)
-            cs._copied = True
+        # copies: pi[0] == a[0]; c[0] == c[0] self-copy (idempotent — the
+        # constraint system dedupes exact duplicates across keygen/prove)
+        cs.copy(self.pi, 0, self.a, 0)
+        cs.copy(self.c, 0, self.c, 0)
         if self.bad_copy:
             advice[self.a.index][0] = (pi0 + 1) % FR_MOD
             advice[self.c.index][0] = (pi0 + 1) * 5 % FR_MOD
@@ -127,3 +126,37 @@ def test_verify_rejects_tampered_proof(srs):
     except AssertionError:
         ok = False
     assert not ok
+
+
+def test_copy_registration_is_idempotent():
+    """Exact-duplicate copy constraints are deduped (keygen's sigma splice
+    would be UNDONE by a repeated transposition); assign() may therefore
+    re-register data-dependent copies on every call."""
+    from scroll_prover_tpu.proof_system.plonk.keygen import _build_next
+
+    cs = ConstraintSystem()
+    a = cs.advice_column()
+    b = cs.advice_column()
+    cs.copy(a, 0, b, 3)
+    once = _build_next(cs, 8).copy()
+    cs.copy(a, 0, b, 3)  # e.g. assign() running again at prove time
+    assert len(cs.copies) == 1
+    assert (_build_next(cs, 8) == once).all()
+
+
+def test_zero_scalar_fixed_base_is_identity_encoding():
+    """fixed_base_mul_dev maps zero scalars to the (0,0) row — the identity
+    encoding shared with ec.encode_affine_mont (ADVICE round-2)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scroll_prover_tpu.curves.bn254_curve import g1_generator
+    from scroll_prover_tpu.fields.limbs import FQ_LIMB, ints_to_limbs, limbs_to_ints
+    from scroll_prover_tpu.ops import field_ops as fo
+    from scroll_prover_tpu.ops.fixed_base import fixed_base_mul_dev
+
+    g = g1_generator()
+    out = fixed_base_mul_dev(g, jnp.asarray(ints_to_limbs([0, 1])))
+    flat = limbs_to_ints(np.asarray(fo.from_mont(FQ_LIMB, out.reshape(4, -1))))
+    assert (flat[0], flat[1]) == (0, 0)
+    assert (flat[2], flat[3]) == g
