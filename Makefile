@@ -3,7 +3,7 @@ CHAIN_ID ?= 534352
 export CHAIN_ID
 
 .PHONY: test test-ccc test-mock-prove test-chunk-prove test-batch-prove \
-        test-bundle-prove test-e2e-prove native bench fmt clean
+        test-bundle-prove test-e2e-prove test-slow native bench fmt clean release
 
 native:
 	$(MAKE) -C scroll_prover_tpu/native
@@ -41,6 +41,10 @@ test-slow:
 
 bench:
 	python bench.py
+
+# golden release artifacts (reference release.sh flow)
+release:
+	python scripts/make_release.py
 
 clean:
 	$(MAKE) -C scroll_prover_tpu/native clean

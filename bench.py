@@ -224,8 +224,12 @@ def stage_quotient20() -> float:
     """One quotient-shaped prover step at k=20: coset-NTT a column to the
     extended domain, square it there (gate-eval stand-in), divide by the
     vanishing polynomial shape via pointwise ops, and interpolate back —
-    the inner prover's per-column hot path (SURVEY.md section 3.1)."""
-    import jax
+    the inner prover's per-column hot path (SURVEY.md section 3.1).
+
+    Deliberately NOT one outer jit: this backend compiles through a remote
+    service whose pipe breaks on monolithic 2^22-size programs; the prover
+    itself composes small jitted kernels eagerly, so the stage measures
+    exactly that composition."""
     import jax.numpy as jnp
 
     from scroll_prover_tpu.fields.limbs import FR_LIMB
@@ -241,12 +245,11 @@ def stage_quotient20() -> float:
         ev = fo.mont_mul(FR_LIMB, ev, ev)
         return dom.intt_extended(ev)
 
-    stepj = jax.jit(step)
-    _force(stepj(xm))
+    _force(step(xm))
     rtt = _rtt(xm)
     t0 = time.perf_counter()
     for _ in range(3):
-        out = stepj(xm)
+        out = step(xm)
     _force(out)
     return max((time.perf_counter() - t0) - rtt, 1e-9) / 3
 
@@ -374,6 +377,16 @@ def main():
         )
         return
     if impl.startswith(("pallas", "scan")):
+        # speed-of-light accounting (SURVEY.md section 5 tracing: per-kernel
+        # achieved vs ceiling): the tiled NTT is HBM-bound — ~6 full passes
+        # over the (n, 16)-u32 limb array (3 kernel levels + 2 twiddle muls
+        # + final gather), each pass read+write of 64 MB at 819 GB/s on the
+        # v5 lite chip.
+        hbm_gbs = 819.0
+        passes = 6
+        sol = passes * 2 * ((1 << K) * 16 * 4) / (hbm_gbs * 1e9)
+        extra["ntt_sol_est_s"] = round(sol, 6)
+        extra["ntt_sol_frac"] = round(sol / dt, 3)
         msm_dt = _run_stage("msm")
         if msm_dt is not None:
             extra["msm_g1_2pow16_wall_s"] = round(msm_dt, 6)
@@ -383,6 +396,13 @@ def main():
         if msm20_dt is not None:
             extra["msm_g1_2pow20_wall_s"] = round(msm20_dt, 6)
             extra["msm_g1_2pow20_mpoints_s"] = round((1 << 20) / msm20_dt / 1e6, 3)
+            if msm_dt is not None and msm20_dt > msm_dt:
+                # marginal accumulate throughput: strips the size-independent
+                # tunnel-RTT + host-fold latency shared by both sizes (the
+                # per-commit floor on this tunneled backend, docs/PERF.md)
+                extra["msm_g1_marginal_mpoints_s"] = round(
+                    ((1 << 20) - (1 << MSM_K)) / (msm20_dt - msm_dt) / 1e6, 3
+                )
         q_dt = _run_stage("quotient20")
         if q_dt is not None:
             # coset-NTT -> gate eval -> iNTT at the inner-circuit size: the

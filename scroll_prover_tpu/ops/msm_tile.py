@@ -15,11 +15,18 @@ the mixed-add arithmetic, following the ntt_tile.py playbook
   * grid (window, point-tile), TPU-sequential: scratch bucket coords
     (9, L, 8, 128) persist across the point tiles of one window and reset
     at tile 0; each step does ONE fused RCB15 mixed add (complete in the
-    bucket, identity-initialised) on a (8, 128) lane tile plus a one-hot
+    bucket, identity-initialised) on an (8, 128) lane tile plus a one-hot
     select read/write of the 9 buckets.
   * points stream limb-major (L, tiles, 8, 128) from HBM once per window;
     signed digits/signs are precomputed host/device-side (the carry chain
     is sequential across windows).
+  * the kernel is ACCUMULATE-ONLY: it dumps the per-lane bucket table
+    (W, B, 3, L, 8, 128) to HBM at each window's last tile, and the
+    1024-lane -> 1 tree reduction runs OUTSIDE as 10 rounds of vectorized
+    complete adds (ops/ec.py). The previous in-kernel flush (7 unrolled
+    complete adds) blew the Mosaic compile to 12+ minutes at SUB_T=1 and
+    past 30 minutes at SUB_T=8; with it gone, SUB_T=8 fills all VPU
+    sublanes for ~8x the accumulate throughput.
 
 Capability anchor: halo2's variable-base Pippenger inside create_proof
 (SURVEY.md section 3.1 hot path: "MSM over 2^20 SRS"); VERDICT round-2
@@ -45,10 +52,9 @@ FQ = FQ_LIMB
 _MASK16 = np.uint32(0xFFFF)
 _N0INV_Q = np.uint32(FQ.n0inv)
 
-# sublane tile; lane tile is 128. SUB_T=1 keeps the in-kernel flush
-# reduction at 7 halving adds (the 8x128 variant's 17 unrolled adds pushed
-# the Mosaic compile past 30 minutes)
-SUB_T = 1
+# sublane x lane tile: full native (8, 128) VPU tile. Affordable because
+# the lane reduction happens outside the kernel (see module docstring).
+SUB_T = 8
 
 
 def _kl_mont_mul_q(p, a, b):
@@ -201,52 +207,26 @@ def _msm_kernel(
 
     @pl.when(t == tiles - 1)
     def _flush():
-        # in-kernel lane reduction: (SUB_T, 128) point lanes -> 1 point per
-        # bucket via halving complete adds (the composed-op reduction was
-        # the dominant fixed cost: ~1.8 s per MSM at any size)
-        X = [bx[:, l] for l in range(N_LIMBS)]
-        Y = [by[:, l] for l in range(N_LIMBS)]
-        Z = [bz[:, l] for l in range(N_LIMBS)]
-        w = 128
-        while w > 1:
-            h = w // 2
-            X, Y, Z = _kl_padd(
-                p, b3,
-                [x[:, :, :h] for x in X], [y[:, :, :h] for y in Y],
-                [z[:, :, :h] for z in Z],
-                [x[:, :, h : 2 * h] for x in X],
-                [y[:, :, h : 2 * h] for y in Y],
-                [z[:, :, h : 2 * h] for z in Z],
-            )
-            w = h
-        s = SUB_T
-        while s > 1:
-            h = s // 2
-            X, Y, Z = _kl_padd(
-                p, b3,
-                [x[:, :h] for x in X], [y[:, :h] for y in Y],
-                [z[:, :h] for z in Z],
-                [x[:, h : 2 * h] for x in X], [y[:, h : 2 * h] for y in Y],
-                [z[:, h : 2 * h] for z in Z],
-            )
-            s = h
+        # dump the raw per-lane buckets; the lane tree-reduction runs
+        # outside the kernel (keeps the Mosaic body small — module
+        # docstring)
         for l in range(N_LIMBS):
-            o_ref[0, :, 0, l] = X[l][:, 0, 0]
-            o_ref[0, :, 1, l] = Y[l][:, 0, 0]
-            o_ref[0, :, 2, l] = Z[l][:, 0, 0]
+            o_ref[0, :, 0, l] = bx[:, l]
+            o_ref[0, :, 1, l] = by[:, l]
+            o_ref[0, :, 2, l] = bz[:, l]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _msm_buckets(px, py, digs, signs, interpret: bool = False):
+def _msm_buckets_lanes(px, py, digs, signs, interpret: bool = False):
     """px/py: (L, tiles, SUB_T, 128); digs/signs: (W4, tiles, SUB_T, 128).
-    Returns (W4, B4, 3, L) lane-reduced bucket table."""
+    Returns the raw (W4, B4, 3, L, SUB_T, 128) per-lane bucket table."""
     L, tiles, st, lanes = px.shape
     consts = jnp.asarray(_consts())
     pt_spec = pl.BlockSpec((L, 1, st, lanes), lambda w, t: (0, t, 0, 0))
     dg_spec = pl.BlockSpec((1, 1, st, lanes), lambda w, t: (w, t, 0, 0))
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_msm_kernel, tiles=tiles),
-        out_shape=jax.ShapeDtypeStruct((W4, B4, 3, L), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((W4, B4, 3, L, st, lanes), jnp.uint32),
         grid=(W4, tiles),
         in_specs=[
             pt_spec,
@@ -256,7 +236,7 @@ def _msm_buckets(px, py, digs, signs, interpret: bool = False):
             pl.BlockSpec((L, 3), lambda w, t: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, B4, 3, L), lambda w, t: (w, 0, 0, 0)
+            (1, B4, 3, L, st, lanes), lambda w, t: (w, 0, 0, 0, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((B4, L, st, lanes), jnp.uint32),
@@ -268,7 +248,32 @@ def _msm_buckets(px, py, digs, signs, interpret: bool = False):
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(px, py, digs, signs, consts)
-    return out
+
+
+@jax.jit
+def _reduce_lanes(tbl: jnp.ndarray) -> jnp.ndarray:
+    """(W4, B4, 3, L, SUB_T, 128) per-lane buckets -> (W4, B4, 3, L) via
+    log2(SUB_T*128) rounds of vectorized complete adds (composed ops; this
+    used to live inside the Pallas kernel and dominated its compile time)."""
+    W, B, _, L, st, lanes = tbl.shape
+    m = st * lanes
+    # (W, B, L, st, lanes) -> (W, B, m, L)
+    def lanes_last(c):
+        return tbl[:, :, c].reshape(W, B, L, m).transpose(0, 1, 3, 2)
+
+    p = ec.PointP(lanes_last(0), lanes_last(1), lanes_last(2))
+    while m > 1:
+        h = m // 2
+        lo = ec.PointP(p.x[:, :, :h], p.y[:, :, :h], p.z[:, :, :h])
+        hi = ec.PointP(p.x[:, :, h:], p.y[:, :, h:], p.z[:, :, h:])
+        p = ec.add(lo, hi)
+        m = h
+    return jnp.stack([p.x[:, :, 0], p.y[:, :, 0], p.z[:, :, 0]], axis=2)
+
+
+def _msm_buckets(px, py, digs, signs, interpret: bool = False):
+    """Composed accumulate + lane-reduce: (W4, B4, 3, L) bucket table."""
+    return _reduce_lanes(_msm_buckets_lanes(px, py, digs, signs, interpret))
 
 
 _CONSTS = None
@@ -309,11 +314,17 @@ def msm_tile_host(
     (the dominant fixed cost at ~1.3 s/MSM on the tunneled backend), while
     the host fold is ~1k Jacobian ops (~30 ms). Returns a host affine point
     or None — the shape kzg_commit wants anyway."""
+    tbl = np.asarray(_msm_tbl(points_affine_mont, scalar_limbs, interpret))
+    return _host_fold(tbl)
+
+
+def _host_fold(tbl: np.ndarray):
+    """(W4, B4, 3, L) Montgomery projective bucket table -> host affine
+    point (or None): suffix-sum each window's buckets, then the classic
+    double-and-add window fold."""
     from ..curves.bn254_curve import G1
     from ..fields.limbs import limbs_to_ints
 
-    tbl = np.asarray(_msm_tbl(points_affine_mont, scalar_limbs, interpret))
-    # decode (W4, B4, 3, L) Montgomery projective limbs -> host ints
     flat = tbl.reshape(W4 * B4 * 3, N_LIMBS)
     ints = limbs_to_ints(np.asarray(fo.from_mont(FQ, jnp.asarray(flat))))
     total = None

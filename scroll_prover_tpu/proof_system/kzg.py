@@ -25,7 +25,7 @@ import numpy as np
 from ..curves.bn254_curve import G1, G2, g1_generator, g2_generator
 from ..curves import pairing as pr
 from ..fields.bn254 import FR_MOD, FR_ROOT_OF_UNITY, FR_TWO_ADICITY
-from ..fields.limbs import FR_LIMB, N_LIMBS, ints_to_limbs
+from ..fields.limbs import FQ_LIMB, FR_LIMB, N_LIMBS, ints_to_limbs
 from ..ops import ec, msm, poly as poly_ops
 from ..ops import field_ops as fo
 
@@ -33,17 +33,48 @@ _SRS_CACHE: dict = {}
 
 
 class SRS:
-    """Structured reference string for degrees up to 2^k."""
+    """Structured reference string for degrees up to 2^k.
+
+    Host point lists (`g1_powers`/`g1_lagrange`) are LAZY when the SRS was
+    synthesized on device (generate_fast): decoding 2 x 2^20 affine points
+    costs a ~128 MB readback (~9 min over the 14 MB/s tunnel) that the
+    device-resident prove path never needs — only save/downsize/host-MSM
+    consumers trigger it."""
 
     def __init__(self, k: int, g1_powers, g1_lagrange, g2, s_g2):
         self.k = k
         self.n = 1 << k
-        self.g1_powers = g1_powers      # list of affine int pairs, len n
-        self.g1_lagrange = g1_lagrange  # list of affine int pairs, len n
+        self._g1_powers = g1_powers      # list of affine int pairs, len n
+        self._g1_lagrange = g1_lagrange  # list of affine int pairs, len n
         self.g2 = g2                    # G2 affine (Fq2 pair)
         self.s_g2 = s_g2
         self._dev_powers = None
         self._dev_lagrange = None
+
+    @staticmethod
+    def _decode_host(dev) -> list:
+        from ..fields.limbs import limbs_to_ints
+
+        n = dev.shape[0]
+        flat = fo.from_mont(FQ_LIMB, dev.reshape(2 * n, -1))
+        ints = limbs_to_ints(np.asarray(flat))
+        out = []
+        for i in range(n):
+            x, y = ints[2 * i], ints[2 * i + 1]
+            out.append(None if x == y == 0 else (x, y))
+        return out
+
+    @property
+    def g1_powers(self) -> list:
+        if self._g1_powers is None:
+            self._g1_powers = self._decode_host(self._dev_powers)
+        return self._g1_powers
+
+    @property
+    def g1_lagrange(self) -> list:
+        if self._g1_lagrange is None:
+            self._g1_lagrange = self._decode_host(self._dev_lagrange)
+        return self._g1_lagrange
 
     # -- generation / io --------------------------------------------------
 
@@ -89,7 +120,6 @@ class SRS:
         if key in _SRS_CACHE:
             return _SRS_CACHE[key]
         from ..ops.fixed_base import fixed_base_mul_dev
-        from ..fields.limbs import FQ_LIMB, limbs_to_ints
 
         tau = int.from_bytes(hashlib.sha512(seed).digest(), "little") % FR_MOD
         n = 1 << k
@@ -109,22 +139,12 @@ class SRS:
             jnp.broadcast_to(vn_m, (n, N_LIMBS)),
         )
         g = g1_generator()
-
-        def pts(scalars_m):
-            dev = fixed_base_mul_dev(g, fo.from_mont(F, scalars_m))
-            flat = fo.from_mont(FQ_LIMB, dev.reshape(2 * n, N_LIMBS))
-            ints = limbs_to_ints(np.asarray(flat))
-            out = []
-            for i in range(n):
-                x, y = ints[2 * i], ints[2 * i + 1]
-                out.append(None if x == y == 0 else (x, y))
-            return out, dev
-
-        g1_powers, dev_powers = pts(pow_m)
-        g1_lagrange, dev_lagrange = pts(lag_m)
+        dev_powers = fixed_base_mul_dev(g, fo.from_mont(F, pow_m))
+        dev_lagrange = fixed_base_mul_dev(g, fo.from_mont(F, lag_m))
         h = g2_generator()
-        srs = cls(k, g1_powers, g1_lagrange, h, G2.mul(h, tau))
-        # the device views are already affine-Montgomery — keep them
+        # host point lists stay LAZY (class docstring): the device views are
+        # already affine-Montgomery, which is all the prove path touches
+        srs = cls(k, None, None, h, G2.mul(h, tau))
         srs._dev_powers = dev_powers
         srs._dev_lagrange = dev_lagrange
         _SRS_CACHE[key] = srs

@@ -39,3 +39,16 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running tier (real-size MSM/ladder runs)"
     )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default tier skips slow-marked tests (the documented SPT_SLOW=1 /
+    `make test-slow` contract; mirrors the reference's tiering where real
+    proving never runs in CI — SURVEY.md section 4). They still run when
+    explicitly selected via -m or when SPT_SLOW=1."""
+    if os.environ.get("SPT_SLOW") == "1" or "slow" in (config.option.markexpr or ""):
+        return
+    skip = pytest.mark.skip(reason="slow tier: set SPT_SLOW=1 or -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
