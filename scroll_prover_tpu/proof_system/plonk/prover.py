@@ -101,7 +101,13 @@ def _parse_ntt_budget() -> int:
     malformed value must fail loudly at config time, not deep in prove())."""
     raw = os.environ.get("SPT_NTT_BATCH_BUDGET")
     if raw is None:
-        return 1 << 24
+        # 2^22 elements = 256 MiB of u32x16 limbs per stacked group. The
+        # tiled batch path holds ~8x the stacked size live inside one
+        # program (transpose copies around the VMEM kernels): a 2^24 budget
+        # compiled a 34 GB program at the 2^22 extended domain and OOMed
+        # the 16 GB chip (round-3 prove20 run); 2^22 keeps the largest
+        # program ~2-3 GB while still batching 4 columns at k=20.
+        return 1 << 22
     try:
         return int(raw)
     except ValueError as e:
