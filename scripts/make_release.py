@@ -12,11 +12,14 @@ Usage: python scripts/make_release.py [release_dir]  (default release-v0.3.0)
 """
 import os, sys, time, json, logging, subprocess, tempfile
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# default: ambient backend (the attached TPU when present — the recursion
+# layers' k~21 SRS/commits/NTTs are hours on host CPU, minutes on device);
+# SPT_RELEASE_CPU=1 forces the CPU mesh (CI / no-chip environments)
 import jax
 
-jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"].split(",")[0])
+if os.environ.get("SPT_RELEASE_CPU"):
+    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

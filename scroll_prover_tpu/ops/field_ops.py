@@ -212,6 +212,35 @@ def mont_sqr(f: LimbField, a):
     return mont_mul(f, a, a)
 
 
+# above this row count, the composed-op CIOS compiles to a program whose
+# buffer assignment exceeds HBM (at (2^23, 16) the while-loop state +
+# dynamic rolls cost 16 GB against the 15.75 GB chip — round-3 prove20
+# OOM); the tiled limb-major Pallas kernel (ntt_tile.lm_mul) is O(tile)
+BIG_MUL_ROWS = int(1 << 22) + 1
+
+
+def mont_mul_big(f: LimbField, a, b):
+    """mont_mul that routes huge Fr arrays through the tiled Pallas
+    elementwise kernel (transpose -> lm_mul -> transpose; each transpose is
+    a linear-memory copy, vs the composed path's 32 live temporaries)."""
+    from ..fields.limbs import FR_LIMB
+
+    rows = int(np.prod(a.shape[:-1])) if a.ndim >= 2 else 0
+    if (
+        f is FR_LIMB
+        and a.ndim >= 2
+        and a.shape == b.shape
+        and rows >= BIG_MUL_ROWS
+        and jax.default_backend() != "cpu"
+    ):
+        from .ntt_tile import lm_mul
+
+        flat_a = a.reshape(rows, N_LIMBS)
+        flat_b = b.reshape(rows, N_LIMBS)
+        return lm_mul(flat_a.T, flat_b.T).T.reshape(a.shape)
+    return mont_mul(f, a, b)
+
+
 def to_mont(f: LimbField, a):
     """Standard form -> Montgomery form: a*R mod p  (= montmul(a, R^2))."""
     r2 = jnp.asarray(f.r2_limbs, dtype=U32)

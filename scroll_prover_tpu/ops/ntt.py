@@ -217,7 +217,9 @@ class EvaluationDomain:
         """Coefficients (padded to extended_n) -> evals over coset zeta*H_ext."""
         assert x.shape == (self.extended_n, N_LIMBS)
         # multiply coefficient i by g_coset^i, then plain NTT over H_ext
-        x = fo.mont_mul(self.field, x, self._table("coset_pow"))
+        # (mont_mul_big: the composed CIOS OOMs XLA's buffer assignment at
+        # 2^23 rows — field_ops.BIG_MUL_ROWS)
+        x = fo.mont_mul_big(self.field, x, self._table("coset_pow"))
         td = self._tiled(True)
         if td:
             return td.ntt(x)
@@ -236,7 +238,7 @@ class EvaluationDomain:
             x = fo.mont_mul(
                 self.field, x, self._scalar_mont(self.extended_n_inv)[None, :]
             )
-        return fo.mont_mul(self.field, x, self._table("coset_pow_inv"))
+        return fo.mont_mul_big(self.field, x, self._table("coset_pow_inv"))
 
     # --- batched transforms (many columns, one dispatch chain) ------------
     #
@@ -267,7 +269,9 @@ class EvaluationDomain:
 
     def ntt_extended_batch(self, x) -> jnp.ndarray:
         assert x.ndim == 3 and x.shape[1] == self.extended_n
-        x = fo.mont_mul(self.field, x, self._table("coset_pow")[None])
+        x = fo.mont_mul_big(
+            self.field, x, jnp.broadcast_to(self._table("coset_pow")[None], x.shape)
+        )
         td = self._tiled(True)
         if td:
             return td.ntt_batch(x)
@@ -288,7 +292,10 @@ class EvaluationDomain:
                 self.field, x,
                 self._scalar_mont(self.extended_n_inv)[None, None, :],
             )
-        return fo.mont_mul(self.field, x, self._table("coset_pow_inv")[None])
+        return fo.mont_mul_big(
+            self.field, x,
+            jnp.broadcast_to(self._table("coset_pow_inv")[None], x.shape),
+        )
 
     # --- host-side helpers (testing / verifier) ---------------------------
 

@@ -363,8 +363,8 @@ class TiledDomain:
         lm = _to_lm(x)  # (L, 1, n)
         out = self._run(lm, self.k, self._tables[inverse], 0)
         if inverse:
-            return _finish(out, self._perm, self._n_inv)
-        return _finish(out, self._perm, None)
+            return _finish(out, self._perm, self._n_inv, self.interpret)
+        return _finish(out, self._perm, None, self.interpret)
 
     def ntt(self, x: jnp.ndarray) -> jnp.ndarray:
         """(n, L) Montgomery coefficients -> natural-order evaluations."""
@@ -383,7 +383,9 @@ class TiledDomain:
     def _transform_batch(self, x, inverse: bool):
         lm = _to_lm_batch(x)  # (L, C, n)
         out = self._run(lm, self.k, self._tables[inverse], 0)
-        return _finish_batch(out, self._perm, self._n_inv if inverse else None)
+        return _finish_batch(
+            out, self._perm, self._n_inv if inverse else None, self.interpret
+        )
 
     def ntt_batch(self, x: jnp.ndarray) -> jnp.ndarray:
         """(C, n, L) Montgomery coefficients -> natural-order evaluations."""
@@ -404,22 +406,52 @@ def _to_lm_batch(x):
     return x.transpose(2, 0, 1)
 
 
-@jax.jit
-def _finish_batch(out, perm, n_inv):
+# row-count above which the n^{-1} scale must stay limb-major through
+# lm_mul: the composed-op mont_mul on a (2^23, 16) row-major array compiles
+# to a ~16 GB program (field_ops.BIG_MUL_ROWS note)
+def _scale_big(N: int, interpret: bool) -> bool:
     from . import field_ops as fo
 
-    y = jnp.take(out, perm, axis=2).transpose(1, 2, 0)  # (C, n, L)
+    return (
+        not interpret and N >= fo.BIG_MUL_ROWS and jax.default_backend() != "cpu"
+    )
+
+
+@jax.jit
+def _gather_batch(out, perm):
+    return jnp.take(out, perm, axis=2)  # (L, C, n) stored -> natural
+
+
+@jax.jit
+def _gather_one(out, perm):
+    return jnp.take(out[:, 0], perm, axis=1)  # (L, n)
+
+
+def _finish_batch(out, perm, n_inv, interpret: bool = False):
+    from . import field_ops as fo
+
+    y_lm = _gather_batch(out, perm)  # (L, C, n)
+    L, C, n = y_lm.shape
+    if n_inv is not None and _scale_big(C * n, interpret):
+        flat = lm_mul(
+            y_lm.reshape(L, C * n),
+            jnp.broadcast_to(n_inv[:, None], (L, C * n)),
+        )
+        return flat.reshape(L, C, n).transpose(1, 2, 0)
+    y = y_lm.transpose(1, 2, 0)  # (C, n, L)
     if n_inv is not None:
         return fo.mont_mul(F, y, jnp.broadcast_to(n_inv, y.shape))
     return y
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _finish(out, perm, n_inv):
+def _finish(out, perm, n_inv, interpret: bool = False):
     from . import field_ops as fo
 
-    y = jnp.take(out[:, 0], perm, axis=1).T  # stored -> natural, (n, L)
+    y_lm = _gather_one(out, perm)  # (L, n)
+    if n_inv is not None and _scale_big(y_lm.shape[1], interpret):
+        y_lm = lm_mul(y_lm, jnp.broadcast_to(n_inv[:, None], y_lm.shape))
+        return y_lm.T
+    y = y_lm.T  # (n, L)
     if n_inv is not None:
-        n = y.shape[0]
-        return fo.mont_mul(F, y, jnp.broadcast_to(n_inv, (n, N_LIMBS)))
+        return fo.mont_mul(F, y, jnp.broadcast_to(n_inv, y.shape))
     return y

@@ -119,12 +119,16 @@ def _parse_ntt_budget() -> int:
 
 _NTT_BATCH_BUDGET = _parse_ntt_budget()
 
+# extended-domain columns kept resident in streaming mode (reused by every
+# permutation/lookup term; everything else is recomputed on demand)
+_PINNED_EXT = frozenset({"l0", "l_last", "l_active"})
+
 
 def _ntt_group(n: int) -> int:
     """Columns per batched NTT dispatch: cap the stacked working set at
-    ~SPT_NTT_BATCH_BUDGET field elements (default 2^24 = 1 GiB of u32x16
-    limbs) so k=20+ domains don't blow HBM while small domains batch all
-    ~50 prover columns into one traced graph (docs/PERF.md item 1)."""
+    ~SPT_NTT_BATCH_BUDGET field elements (default 2^22 — see
+    _parse_ntt_budget) so k=20+ domains don't blow HBM while small domains
+    batch all ~50 prover columns into one traced graph (docs/PERF.md)."""
     return max(1, _NTT_BATCH_BUDGET // max(n, 1))
 
 
@@ -368,6 +372,14 @@ def prove(
     y = tr.squeeze_challenge()
 
     instance_polys = _intt_cols(dom, inst_dev)
+    # release base-domain value tables before the extended-domain walk: at
+    # k=20 every retained (n, 16) array is 64 MB and the 2^22 quotient
+    # phase runs within ~256 MB of the 16 GB HBM budget (round-3 OOM)
+    vals_dev = advice_dev = inst_dev = None
+    perm_z_devs = lookup_z_devs = None
+    for lk in lookups:
+        for key in ("a_dev", "s_dev", "a_perm_dev", "s_perm_dev"):
+            lk.pop(key, None)
     h_chunk_polys = _build_quotient(
         pk, dom, cs, advice_polys, [p for p in pk.fixed_polys],
         instance_polys,
@@ -535,24 +547,185 @@ def _permute_lookup(a_vals, s_vals):
     return a_perm, s_perm
 
 
+def _quotient_walk(cs, chunks, theta, beta, gamma, u, env):
+    """The constraint walk shared by both quotient drivers: emits every
+    gate / permutation / lookup term through env.fold IN THE CANONICAL
+    ORDER the verifier folds them (gates, permutation, lookups).
+
+    env supplies the domain representation:
+      q(kind, col, rot)   queried column values (rotation applied)
+      zcol(tag)           permz/sigma/lkz/lka/lks column values
+      l0, llast, lact     lagrange indicator values
+      x_vals              X coordinate values on the (sub-)domain
+      const(c), one       broadcast constants
+      roll(arr, k)        values at omega^k * X
+      fold(term)          y-fold accumulator
+      mm/ad/sb/neg        field ops
+    """
+    mm, ad, sb, neg = env.mm, env.ad, env.sb, env.neg
+    const, q, roll, fold = env.const, env.q, env.roll, env.fold
+
+    for _, expr in cs.gates:
+        fold(
+            expr.evaluate(
+                constant=const, query=q,
+                challenge=lambda i: const(theta),
+                add=ad, mul=mm, neg=neg,
+            )
+        )
+
+    if env.n_perm_z:
+        z_vals = [env.zcol(("permz", a)) for a in range(env.n_perm_z)]
+        fold(mm(env.l0, sb(env.one, z_vals[0])))
+        fold(mm(env.llast, sb(mm(z_vals[-1], z_vals[-1]), z_vals[-1])))
+        for a in range(1, len(chunks)):
+            fold(mm(env.l0, sb(z_vals[a], roll(z_vals[a - 1], u))))
+        beta_c = const(beta)
+        gamma_c = const(gamma)
+        for a, chunk in enumerate(chunks):
+            left = roll(z_vals[a], 1)  # Z(omega X)
+            right = z_vals[a]
+            for jj in chunk:
+                cref = cs.perm_columns[jj]
+                v = q(cref.kind, cref.index, 0)
+                sig = env.zcol(("sigma", jj))
+                left = mm(left, ad(ad(v, mm(beta_c, sig)), gamma_c))
+                idterm = mm(beta_c, mm(const(pow(DELTA, jj, FR_MOD)), env.x_vals))
+                right = mm(right, ad(ad(v, idterm), gamma_c))
+            fold(mm(env.lact, sb(left, right)))
+
+    for li, lkexprs in enumerate(cs.lookups):
+        z_v = env.zcol(("lkz", li))
+        a_v = env.zcol(("lka", li))
+        s_v = env.zcol(("lks", li))
+
+        def compress(exprs):
+            acc = None
+            for e in exprs:
+                v = e.evaluate(
+                    constant=const, query=q,
+                    challenge=lambda i: const(theta),
+                    add=ad, mul=mm, neg=neg,
+                )
+                acc = v if acc is None else ad(mm(acc, const(theta)), v)
+            return acc
+
+        in_v = compress(lkexprs.inputs)
+        tb_v = compress(lkexprs.tables)
+        beta_c = const(beta)
+        gamma_c = const(gamma)
+        fold(mm(env.l0, sb(env.one, z_v)))
+        fold(mm(env.llast, sb(mm(z_v, z_v), z_v)))
+        lhs = mm(roll(z_v, 1), mm(ad(a_v, beta_c), ad(s_v, gamma_c)))
+        rhs = mm(z_v, mm(ad(in_v, beta_c), ad(tb_v, gamma_c)))
+        fold(mm(env.lact, sb(lhs, rhs)))
+        a_prev = roll(a_v, -1)  # A'(omega^{-1} X)
+        fold(mm(env.lact, mm(sb(a_v, s_v), sb(a_v, a_prev))))
+        fold(mm(env.l0, sb(a_v, s_v)))
+
+
+class _WalkEnv:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
 def _build_quotient(
     pk, dom, cs, advice_polys, fixed_polys, instance_polys, sigma_polys,
     perm_z_polys, lookups, lookup_z_polys, chunks, theta, beta, gamma, y, u,
     _debug: dict | None = None,
 ):
     """Evaluate all constraints on the extended coset domain, combine with y
-    powers, divide by the vanishing poly, return h chunks (each (n, L))."""
+    powers, divide by the vanishing poly, return h chunks (each (n, L)).
+
+    Two drivers over the shared _quotient_walk:
+      * full-domain (small k): every column extended to 2^(k+j) once, with
+        batched prefetch — minimal dispatch count;
+      * coset-streaming (huge k, TPU): the extended coset H_ext*g is the
+        disjoint union of `ratio` size-n cosets shift_r*H with
+        shift_r = g*w_ext^r; the walk runs once per sub-coset with ALL
+        arrays at size n, so peak HBM is ~#columns * n * 64 B instead of
+        ratio times that (at k=20/j=3 the full-domain driver needed ~16
+        columns x 512 MB + transients and exhausted the 16 GB chip).
+        Rotations by omega stay inside a sub-coset (omega = w_ext^ratio),
+        so q/roll are plain in-coset rolls; the vanishing inverse is a
+        per-coset CONSTANT. One final interleave + 2^(k+j) iNTT recovers
+        h coefficients. This is also the natural multi-chip axis (cosets
+        are embarrassingly parallel).
+    """
     ext_n = dom.extended_n
     n = dom.n
     ratio = ext_n // n
 
+    import jax as _jax
+
+    stream = (
+        ext_n >= (1 << 22)
+        and _jax.default_backend() != "cpu"
+        and _debug is None
+    )
+    lact_vals = [1] * u + [0] * (n - u)
+    lact_poly = dom.intt(_encode_mont(lact_vals))
+    by_kind = {"advice": advice_polys, "fixed": fixed_polys,
+               "instance": instance_polys}
+    zpolys = {}
+    for jj in range(len(cs.perm_columns)):
+        zpolys[("sigma", jj)] = sigma_polys[jj]
+    for a, zp in enumerate(perm_z_polys):
+        zpolys[("permz", a)] = zp
+    for li, lk in enumerate(lookups):
+        zpolys[("lkz", li)] = lookup_z_polys[li]
+        zpolys[("lka", li)] = lk["a_poly"]
+        zpolys[("lks", li)] = lk["s_poly"]
+
+    mm = lambda a, b: fo.mont_mul_big(F, a, b)
+    ad = lambda a, b: fo.add_mod(F, a, b)
+    sb = lambda a, b: fo.sub_mod(F, a, b)
+    neg = lambda a: fo.neg_mod(F, a)
+
+    # vanishing values (zeta^n * w_ext^(i n) - 1) cycle with period ratio
+    zn = pow(dom.g_coset, n, FR_MOD)
+    wn = pow(dom.extended_omega, n, FR_MOD)
+    vshort, a0 = [], zn
+    for _ in range(ratio):
+        vshort.append(pow((a0 - 1) % FR_MOD, -1, FR_MOD))
+        a0 = a0 * wn % FR_MOD
+
+    if stream:
+        acc_ext = _quotient_cosets(
+            pk, dom, cs, by_kind, zpolys, lact_poly, chunks,
+            theta, beta, gamma, y, u, vshort,
+        )
+    else:
+        acc_ext = _quotient_full(
+            pk, dom, cs, by_kind, zpolys, lact_poly, chunks,
+            theta, beta, gamma, y, u, vshort, mm, ad, sb, neg, _debug,
+        )
+
+    h_coeffs = dom.intt_extended(acc_ext)
+    # split into chunks of n; pieces beyond the degree bound are identically
+    # zero (see _n_h) and are not part of the proof
+    out = []
+    for a in range(_n_h(cs, dom)):
+        out.append(h_coeffs[a * n : (a + 1) * n])
+    return out
+
+
+def _quotient_full(
+    pk, dom, cs, by_kind, zpolys, lact_poly, chunks, theta, beta, gamma, y,
+    u, vshort, mm, ad, sb, neg, _debug,
+):
+    ext_n = dom.extended_n
+    n = dom.n
+    ratio = ext_n // n
     cache: dict = {}
 
     def ext(polyc, tag):
-        if tag not in cache:
-            pad = jnp.zeros((ext_n - polyc.shape[0], polyc.shape[1]), jnp.uint32)
-            cache[tag] = dom.ntt_extended(jnp.concatenate([polyc, pad]))
-        return cache[tag]
+        if tag in cache:
+            return cache[tag]
+        pad = jnp.zeros((ext_n - polyc.shape[0], polyc.shape[1]), jnp.uint32)
+        e = dom.ntt_extended(jnp.concatenate([polyc, pad]))
+        cache[tag] = e
+        return e
 
     def prefetch_ext(pairs):
         """Run all pending extended NTTs as batched dispatches (grouped to a
@@ -567,12 +740,7 @@ def _build_quotient(
             stacked = jnp.stack(
                 [
                     jnp.concatenate(
-                        [
-                            p,
-                            jnp.zeros(
-                                (ext_n - p.shape[0], p.shape[1]), jnp.uint32
-                            ),
-                        ]
+                        [p, jnp.zeros((ext_n - p.shape[0], p.shape[1]), jnp.uint32)]
                     )
                     for _, p in grp
                 ]
@@ -580,157 +748,145 @@ def _build_quotient(
             for (t, _), r in zip(grp, dom.ntt_extended_batch(stacked)):
                 cache[t] = r
 
-    def q(kind, col, rot):
-        polyc = {
-            "advice": advice_polys,
-            "fixed": fixed_polys,
-            "instance": instance_polys,
-        }[kind][col]
-        e = ext(polyc, (kind, col))
-        return jnp.roll(e, -rot * ratio, axis=0)
-
-    one = fo.one_mont(F, (ext_n,))
-    zero = jnp.zeros((ext_n, 16), jnp.uint32)
-
-    def const(c):
-        return _bcast(_mont_scalar(c), ext_n)
-
-    # batched prefetch of every extended transform the constraint walk will
-    # ask for (queried columns, sigmas, grand products, lookup columns,
-    # lagrange indicators) — ONE dispatch chain per HBM-budget group
-    lact_vals = [1] * u + [0] * (n - u)
-    lact_poly = dom.intt(_encode_mont(lact_vals))
     qs = _Queries.from_cs(cs)
-    by_kind = {"advice": advice_polys, "fixed": fixed_polys,
-               "instance": instance_polys}
     plan: list[tuple] = []
     for kind in ("advice", "fixed", "instance"):
         for col in sorted({c for c, _ in getattr(qs, kind)}):
             plan.append(((kind, col), by_kind[kind][col]))
-    if perm_z_polys:
-        plan += [(("sigma", jj), sigma_polys[jj]) for jj in range(len(cs.perm_columns))]
-        plan += [(("permz", a), zp) for a, zp in enumerate(perm_z_polys)]
-    for li, lk in enumerate(lookups):
-        plan += [
-            (("lkz", li), lookup_z_polys[li]),
-            (("lka", li), lk["a_poly"]),
-            (("lks", li), lk["s_poly"]),
-        ]
+    plan += [(tag, p) for tag, p in zpolys.items()]
     plan += [("l0", pk.l0), ("l_last", pk.l_last), ("l_active", lact_poly)]
     prefetch_ext(plan)
 
-    terms = []
-    for _, expr in cs.gates:
-        terms.append(
-            expr.evaluate(
-                constant=const,
-                query=q,
-                challenge=lambda i: const(theta),
-                add=lambda a, b: fo.add_mod(F, a, b),
-                mul=lambda a, b: fo.mont_mul(F, a, b),
-                neg=lambda a: fo.neg_mod(F, a),
-            )
-        )
+    def q(kind, col, rot):
+        e = ext(by_kind[kind][col], (kind, col))
+        return jnp.roll(e, -rot * ratio, axis=0)
 
-    # lagrange indicators on extended domain (prefetched above)
-    l0_e = ext(pk.l0, "l0")
-    llast_e = ext(pk.l_last, "l_last")
-    lact_e = ext(lact_poly, "l_active")
+    def const(c):
+        return _bcast(_mont_scalar(c), ext_n)
 
-    # X values on the extended coset: g_coset * extended_omega^i (device)
-    x_e = fo.mont_mul(
-        F,
-        poly_ops.powers_mont(F, _mont_scalar(dom.extended_omega), ext_n),
-        _bcast(_mont_scalar(dom.g_coset), ext_n),
+    # X values on the extended coset: g * w_ext^i as a hi (x) lo outer
+    # product (a length-ext_n prefix-product scan compiled past HBM at 2^23)
+    x_e = _coset_x_outer(dom.g_coset, dom.extended_omega, ext_n, dom.extended_k)
+
+    acc = jnp.zeros((ext_n, 16), jnp.uint32)
+    y_c = const(y)
+    terms_dbg = [] if _debug is not None else None
+
+    def fold(t):
+        nonlocal acc
+        if terms_dbg is not None:
+            terms_dbg.append(t)
+        acc = ad(mm(acc, y_c), t)
+
+    env = _WalkEnv(
+        mm=mm, ad=ad, sb=sb, neg=neg, const=const, q=q, fold=fold,
+        zcol=lambda tag: ext(zpolys[tag], tag),
+        l0=ext(pk.l0, "l0"), llast=ext(pk.l_last, "l_last"),
+        lact=ext(lact_poly, "l_active"),
+        x_vals=x_e, one=fo.one_mont(F, (ext_n,)),
+        roll=lambda arr, k: jnp.roll(arr, -k * ratio, axis=0),
+        n_perm_z=len([1 for t in zpolys if t[0] == "permz"]),
     )
+    _quotient_walk(cs, chunks, theta, beta, gamma, u, env)
 
-    mm = lambda a, b: fo.mont_mul(F, a, b)
-    ad = lambda a, b: fo.add_mod(F, a, b)
-    sb = lambda a, b: fo.sub_mod(F, a, b)
-
-    def col_ext(cref):
-        return q(cref.kind, cref.index, 0)
-
-    # permutation constraints
-    if perm_z_polys:
-        z_exts = [ext(zp, ("permz", a)) for a, zp in enumerate(perm_z_polys)]
-        terms.append(mm(l0_e, sb(one, z_exts[0])))
-        terms.append(
-            mm(llast_e, sb(mm(z_exts[-1], z_exts[-1]), z_exts[-1]))
-        )
-        for a in range(1, len(chunks)):
-            zu_prev = jnp.roll(z_exts[a - 1], -u * ratio, axis=0)
-            terms.append(mm(l0_e, sb(z_exts[a], zu_prev)))
-        beta_e = const(beta)
-        gamma_e = const(gamma)
-        for a, chunk in enumerate(chunks):
-            left = jnp.roll(z_exts[a], -ratio, axis=0)  # Z(omega X)
-            right = z_exts[a]
-            for jj in chunk:
-                cref = cs.perm_columns[jj]
-                v = col_ext(cref)
-                sig_e = ext(sigma_polys[jj], ("sigma", jj))
-                left = mm(left, ad(ad(v, mm(beta_e, sig_e)), gamma_e))
-                idterm = mm(beta_e, fo.mont_mul(F, const(pow(DELTA, jj, FR_MOD)), x_e))
-                right = mm(right, ad(ad(v, idterm), gamma_e))
-            terms.append(mm(lact_e, sb(left, right)))
-
-    # lookup constraints
-    for li, lk in enumerate(lookups):
-        z_e = ext(lookup_z_polys[li], ("lkz", li))
-        a_e = ext(lk["a_poly"], ("lka", li))
-        s_e = ext(lk["s_poly"], ("lks", li))
-        # compressed input/table on extended domain
-        def compress(exprs):
-            acc = None
-            for e in exprs:
-                v = e.evaluate(
-                    constant=const,
-                    query=q,
-                    challenge=lambda i: const(theta),
-                    add=ad,
-                    mul=mm,
-                    neg=lambda t: fo.neg_mod(F, t),
-                )
-                acc = v if acc is None else ad(mm(acc, const(theta)), v)
-            return acc
-
-        in_e = compress(cs.lookups[li].inputs)
-        tb_e = compress(cs.lookups[li].tables)
-        beta_e = const(beta)
-        gamma_e = const(gamma)
-        z_next = jnp.roll(z_e, -ratio, axis=0)
-        terms.append(mm(l0_e, sb(one, z_e)))
-        terms.append(mm(llast_e, sb(mm(z_e, z_e), z_e)))
-        lhs = mm(z_next, mm(ad(a_e, beta_e), ad(s_e, gamma_e)))
-        rhs = mm(z_e, mm(ad(in_e, beta_e), ad(tb_e, gamma_e)))
-        terms.append(mm(lact_e, sb(lhs, rhs)))
-        a_prev = jnp.roll(a_e, ratio, axis=0)  # A'(omega^{-1} X)
-        terms.append(mm(lact_e, mm(sb(a_e, s_e), sb(a_e, a_prev))))
-        terms.append(mm(l0_e, sb(a_e, s_e)))
-
-    # combine with y powers and divide by vanishing
-    acc = zero
-    for t in terms:
-        acc = ad(mm(acc, const(y)), t)
     if _debug is not None:
         _debug["H_coeffs"] = dom.intt_extended(acc)
-        _debug["terms_ext"] = [dom.intt_extended(t) for t in terms]
+        _debug["terms_ext"] = [dom.intt_extended(t) for t in terms_dbg]
 
-    # vanishing values (zeta^n * omega_ext^{i n} - 1) cycle with period ratio
-    zn = pow(dom.g_coset, n, FR_MOD)
-    wn = pow(dom.extended_omega, n, FR_MOD)
-    vshort, a0 = [], zn
-    for _ in range(ratio):
-        vshort.append(pow((a0 - 1) % FR_MOD, -1, FR_MOD))
-        a0 = a0 * wn % FR_MOD
     vinv = vshort * (ext_n // ratio)
-    acc = mm(acc, _encode_mont(vinv))
+    return mm(acc, _encode_mont(vinv))
 
-    h_coeffs = dom.intt_extended(acc)
-    # split into chunks of n; pieces beyond the degree bound are identically
-    # zero (see _n_h) and are not part of the proof
-    out = []
-    for a in range(_n_h(cs, dom)):
-        out.append(h_coeffs[a * n : (a + 1) * n])
-    return out
+
+def _quotient_cosets(
+    pk, dom, cs, by_kind, zpolys, lact_poly, chunks, theta, beta, gamma, y,
+    u, vshort,
+):
+    ext_n = dom.extended_n
+    n = dom.n
+    ratio = ext_n // n
+    mm = lambda a, b: fo.mont_mul_big(F, a, b)
+    ad = lambda a, b: fo.add_mod(F, a, b)
+    sb = lambda a, b: fo.sub_mod(F, a, b)
+    neg = lambda a: fo.neg_mod(F, a)
+    P = FR_MOD
+    om_pows = None  # powers of omega over H, shared by every coset
+    accs = []
+    for r in range(ratio):
+        shift = dom.g_coset * pow(dom.extended_omega, r, P) % P
+        # coeff scale table shift^j: hi (x) lo outer product on device
+        scale = _coset_x_outer(1, 1, n, dom.k, base=shift)
+        if om_pows is None:
+            om_pows = _coset_x_outer(1, 1, n, dom.k, base=dom.omega)
+        cache: dict = {}
+
+        def col(polyc, tag):
+            if tag in cache:
+                return cache[tag]
+            e = dom.ntt(fo.mont_mul_big(F, polyc, scale))
+            cache[tag] = e
+            return e
+
+        def q(kind, c_, rot):
+            e = col(by_kind[kind][c_], (kind, c_))
+            return jnp.roll(e, -rot, axis=0) if rot else e
+
+        def const(c):
+            return _bcast(_mont_scalar(c), n)
+
+        acc = jnp.zeros((n, 16), jnp.uint32)
+        y_c = const(y)
+
+        def fold(t):
+            nonlocal acc
+            acc = ad(mm(acc, y_c), t)
+            # bound the async dispatch queue (transients pile up otherwise;
+            # block_until_ready is a no-op on the tunneled backend)
+            np.asarray(acc[0, 0])
+
+        env = _WalkEnv(
+            mm=mm, ad=ad, sb=sb, neg=neg, const=const, q=q, fold=fold,
+            zcol=lambda tag: col(zpolys[tag], tag),
+            l0=col(pk.l0, "l0"), llast=col(pk.l_last, "l_last"),
+            lact=col(lact_poly, "l_active"),
+            x_vals=fo.mont_mul_big(
+                F, om_pows, _bcast(_mont_scalar(shift), n)
+            ),
+            one=fo.one_mont(F, (n,)),
+            roll=lambda arr, k: jnp.roll(arr, -k, axis=0),
+            n_perm_z=len([1 for t in zpolys if t[0] == "permz"]),
+        )
+        _quotient_walk(cs, chunks, theta, beta, gamma, u, env)
+        # vanishing inverse is constant on this coset
+        acc = mm(acc, _bcast(_mont_scalar(vshort[r]), n))
+        cache.clear()
+        accs.append(acc)
+    # interleave: ext position i*ratio + r <-> shift_r * omega^i
+    return jnp.stack(accs, axis=1).reshape(ext_n, 16)
+
+
+def _coset_x_outer(g: int, w: int, count: int, k: int, base: int | None = None):
+    """(count, 16) Montgomery table t[i] = g * w^i (or base^i when base is
+    given), built as a hi (x) lo outer product: two host-built factor tables
+    of ~sqrt(count) entries and ONE tiled device mul — a length-count
+    prefix-product scan at 2^23 compiled past HBM (round 3)."""
+    P = FR_MOD
+    if base is not None:
+        g, w = 1, base
+    nl = 1 << (k // 2)
+    nh = count // nl
+    lo_ints, acc = [], g % P
+    for _ in range(nl):
+        lo_ints.append(acc)
+        acc = acc * w % P
+    w_nl = pow(w, nl, P)
+    hi_ints, acc = [], 1
+    for _ in range(nh):
+        hi_ints.append(acc)
+        acc = acc * w_nl % P
+    lo_m = _encode_mont(lo_ints)
+    hi_m = _encode_mont(hi_ints)
+    return fo.mont_mul_big(
+        F,
+        jnp.broadcast_to(hi_m[:, None, :], (nh, nl, 16)),
+        jnp.broadcast_to(lo_m[None, :, :], (nh, nl, 16)),
+    ).reshape(count, 16)
