@@ -394,24 +394,20 @@ def prove(
     x = tr.squeeze_challenge()
 
     # --- phase 5: evaluations --------------------------------------------
+    # two-pass: enqueue every (poly, point) eval on device, then ONE stacked
+    # readback + decode (per-eval readbacks cost a tunnel RTT each — ~30
+    # evals made this phase 51 s at k=20, round-3 phase log). Transcript
+    # write order is unchanged; no challenge is squeezed mid-phase.
     qs = _Queries.from_cs(cs)
-
-    def ev(polyc, point: int) -> int:
-        r = poly_ops.eval_poly_mont(F, polyc, _mont_scalar(point))
-        return F.decode(np.asarray(r)[None, :])[0]
 
     xw = x * omega % FR_MOD
     xwi = x * pow(omega, -1, FR_MOD) % FR_MOD
     xu = x * pow(omega, u, FR_MOD) % FR_MOD
 
-    queries: list[tuple] = []  # (poly, point, value)
+    plan5: list[tuple] = []  # (poly, point, write_to_transcript)
 
     def emit(polyc, point, write=True):
-        v = ev(polyc, point)
-        if write:
-            tr.write_scalar(v)
-        queries.append((polyc, point, v))
-        return v
+        plan5.append((polyc, point, write))
 
     for col, rot in qs.advice:
         emit(advice_polys[col], _rot_point(x, omega, rot))
@@ -442,8 +438,19 @@ def prove(
         h_comb = poly_ops.axpy_mont(
             F, _mont_scalar(wpow), h_chunk_polys[a], h_comb
         )
-    h_x = ev(h_comb, x)
-    queries.append((h_comb, x, h_x))
+    emit(h_comb, x, write=False)
+
+    ev_dev = [
+        poly_ops.eval_poly_mont(F, p, _mont_scalar(pt)) for p, pt, _ in plan5
+    ]
+    ev_vals = F.decode(np.asarray(jnp.stack(ev_dev)))
+    queries: list[tuple] = []  # (poly, point, value)
+    for (p, pt, write), v in zip(plan5, ev_vals):
+        v = int(v)
+        if write:
+            tr.write_scalar(v)
+        queries.append((p, pt, v))
+    h_x = queries[-1][2]
     # instance polys are opened implicitly (verifier evaluates them itself)
     if _debug is not None:
         _debug.update(
@@ -836,12 +843,19 @@ def _quotient_cosets(
         acc = jnp.zeros((n, 16), jnp.uint32)
         y_c = const(y)
 
+        n_folds = 0
+
         def fold(t):
-            nonlocal acc
+            nonlocal acc, n_folds
             acc = ad(mm(acc, y_c), t)
-            # bound the async dispatch queue (transients pile up otherwise;
-            # block_until_ready is a no-op on the tunneled backend)
-            np.asarray(acc[0, 0])
+            n_folds += 1
+            # bound the async dispatch queue every few terms: each in-flight
+            # term holds ~0.6 GB of enqueued outputs at 2^20; a 1-element
+            # readback drains the queue (block_until_ready is a no-op on the
+            # tunneled backend), but each costs a tunnel RTT — syncing every
+            # fold made the sync cost rival the math (round-3 phase log)
+            if n_folds % 4 == 0:
+                np.asarray(acc[0, 0])
 
         env = _WalkEnv(
             mm=mm, ad=ad, sb=sb, neg=neg, const=const, q=q, fold=fold,
