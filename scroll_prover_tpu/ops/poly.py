@@ -43,6 +43,34 @@ def prefix_sum_mont(f: LimbField, x):
 
 
 @partial(jax.jit, static_argnums=0)
+def sum_mont(f: LimbField, x):
+    """Total sum along axis 0 via a halving tree: (n, L) -> (L,).
+
+    ~2 full passes over the data vs the Hillis-Steele scan's log2(n)
+    full-width passes — the right shape when only the total is needed
+    (e.g. polynomial evaluation, prover phase 5)."""
+    n = x.shape[0]
+    while n > 1:
+        h = n // 2
+        lo, hi = x[:h], x[h : 2 * h]
+        rem = x[2 * h :]
+        x = fo.add_mod(f, lo, hi)
+        if rem.shape[0]:
+            x = jnp.concatenate([x, rem])
+        n = x.shape[0]
+    return x[0]
+
+
+@partial(jax.jit, static_argnums=0)
+def eval_poly_with_powers(f: LimbField, coeffs, pw):
+    """f(z) given a precomputed powers table pw[i] = z^i (both (n, L)
+    Montgomery). Shares one powers table across the many openings at the
+    same point instead of re-running a length-n prefix-product scan per
+    evaluation (prover phase 5 cost at k=20, round-3 phase log)."""
+    return sum_mont(f, fo.mont_mul(f, coeffs, pw[: coeffs.shape[0]]))
+
+
+@partial(jax.jit, static_argnums=0)
 def suffix_sum_mont(f: LimbField, x):
     return _hs_scan(f, x, fo.add_mod, reverse=True)
 

@@ -440,10 +440,18 @@ def prove(
         )
     emit(h_comb, x, write=False)
 
+    # one powers table per DISTINCT point (outer-product build), shared by
+    # every opening at that point; per-eval = one mul + one tree-sum
+    pw_tables: dict[int, jnp.ndarray] = {}
+    for _, pt, _w in plan5:
+        if pt not in pw_tables:
+            pw_tables[pt] = _coset_x_outer(1, 1, n, dom.k, base=pt)
     ev_dev = [
-        poly_ops.eval_poly_mont(F, p, _mont_scalar(pt)) for p, pt, _ in plan5
+        poly_ops.eval_poly_with_powers(F, p, pw_tables[pt])
+        for p, pt, _ in plan5
     ]
     ev_vals = F.decode(np.asarray(jnp.stack(ev_dev)))
+    pw_tables.clear()
     queries: list[tuple] = []  # (poly, point, value)
     for (p, pt, write), v in zip(plan5, ev_vals):
         v = int(v)
@@ -508,20 +516,29 @@ def _sigma_dev(pk: ProvingKey, n: int):
 
 
 def _combine(group, v_ch):
-    """sum_i v^i f_i over (poly, eval) pairs; f_0 gets v^0."""
-    comb = None
-    vpow = 1
+    """sum_i v^i f_i over (poly, eval) pairs; f_0 gets v^0.
+
+    Batched: one stacked (P, n, L) mul by the v-power column + a halving
+    tree-sum, instead of P sequential axpy dispatches (the GWC fold cost
+    ~27 s at k=20 with ~25 polys per point, round-3 phase log)."""
     maxlen = max(p.shape[0] for p, _ in group)
+    padded = []
     for polyc, _ in group:
         if polyc.shape[0] < maxlen:
             pad = jnp.zeros((maxlen - polyc.shape[0], polyc.shape[1]), jnp.uint32)
             polyc = jnp.concatenate([polyc, pad])
-        if comb is None:
-            comb = fo.mont_mul(F, jnp.broadcast_to(_mont_scalar(vpow)[None, :], polyc.shape), polyc)
-        else:
-            comb = poly_ops.axpy_mont(F, _mont_scalar(vpow), polyc, comb)
-        vpow = vpow * v_ch % FR_MOD
-    return comb
+        padded.append(polyc)
+    stacked = jnp.stack(padded)  # (P, n, L)
+    vpows, vp = [], 1
+    for _ in group:
+        vpows.append(vp)
+        vp = vp * v_ch % FR_MOD
+    vp_m = _encode_mont(vpows)  # (P, L)
+    # mont_mul_big: P*n rows easily exceeds the composed-CIOS compile limit
+    weighted = fo.mont_mul_big(
+        F, stacked, jnp.broadcast_to(vp_m[:, None, :], stacked.shape)
+    )
+    return poly_ops.sum_mont(F, weighted)
 
 
 def _rot_point(x: int, omega: int, rot: int) -> int:
