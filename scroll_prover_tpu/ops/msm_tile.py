@@ -161,9 +161,10 @@ def _kl_padd(p, b3, X1, Y1, Z1, X2, Y2, Z2):
 
 
 def _msm_kernel(
-    px_ref, py_ref, d_ref, s_ref, c_ref, o_ref, bx, by, bz, *, tiles: int
+    px_ref, py_ref, d_ref, s_ref, c_ref, o_ref, bx, by, bz, *, tiles: int,
+    t_axis: int = 1,
 ):
-    t = pl.program_id(1)
+    t = pl.program_id(t_axis)
     p = [c_ref[l, 0] for l in range(N_LIMBS)]
     b3 = [c_ref[l, 1] for l in range(N_LIMBS)]
 
@@ -250,6 +251,54 @@ def _msm_buckets_lanes(px, py, digs, signs, interpret: bool = False):
     )(px, py, digs, signs, consts)
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _msm_buckets_lanes_batch(px, py, digs, signs, interpret: bool = False):
+    """Multi-column MSM over SHARED points: px/py (L, tiles, SUB_T, 128);
+    digs/signs (C, W4, tiles, SUB_T, 128) — one digit set per column.
+    Grid (C, W4, tiles): scratch buckets reset at each (column, window)'s
+    tile 0, so one dispatch accumulates C independent bucket tables. The
+    per-commit tunnel floor (RTT sync + readback) is paid ONCE per group
+    instead of once per column (docs/PERF.md round-3 MSM floor)."""
+    C = digs.shape[0]
+    L, tiles, st, lanes = px.shape
+    consts = jnp.asarray(_consts())
+    # flatten (C, W4) into one grid-indexed leading axis so the kernel body
+    # (which reads d_ref[0, 0]) is shared verbatim with the single-column path
+    dflat = digs.reshape(C * W4, tiles, st, lanes)
+    sflat = signs.reshape(C * W4, tiles, st, lanes)
+    pt_spec = pl.BlockSpec((L, 1, st, lanes), lambda c, w, t: (0, t, 0, 0))
+    dg_spec = pl.BlockSpec(
+        (1, 1, st, lanes), lambda c, w, t: (c * W4 + w, t, 0, 0)
+    )
+    out = pl.pallas_call(
+        functools.partial(_msm_kernel, tiles=tiles, t_axis=2),
+        out_shape=jax.ShapeDtypeStruct(
+            (C * W4, B4, 3, L, st, lanes), jnp.uint32
+        ),
+        grid=(C, W4, tiles),
+        in_specs=[
+            pt_spec,
+            pt_spec,
+            dg_spec,
+            dg_spec,
+            pl.BlockSpec((L, 3), lambda c, w, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, B4, 3, L, st, lanes), lambda c, w, t: (c * W4 + w, 0, 0, 0, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B4, L, st, lanes), jnp.uint32),
+            pltpu.VMEM((B4, L, st, lanes), jnp.uint32),
+            pltpu.VMEM((B4, L, st, lanes), jnp.uint32),
+        ],
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(px, py, dflat, sflat, consts)
+    return out.reshape(C, W4, B4, 3, L, st, lanes)
+
+
 @jax.jit
 def _reduce_lanes(tbl: jnp.ndarray) -> jnp.ndarray:
     """(W4, B4, 3, L, SUB_T, 128) per-lane buckets -> (W4, B4, 3, L) via
@@ -316,6 +365,46 @@ def msm_tile_host(
     or None — the shape kzg_commit wants anyway."""
     tbl = np.asarray(_msm_tbl(points_affine_mont, scalar_limbs, interpret))
     return _host_fold(tbl)
+
+
+def msm_tile_host_batch(
+    points_affine_mont: jnp.ndarray,
+    scalar_limbs_list,
+    interpret: bool = False,
+):
+    """C MSMs over SHARED points in ONE kernel dispatch + one readback.
+    points: (n, 2, L) Montgomery affine; scalar_limbs_list: C arrays of
+    (n_i, L) standard limbs with n_i <= n (shorter columns are zero-padded
+    — zero digits land in the discarded bucket 0). Returns C host affine
+    points (or None)."""
+    if len(scalar_limbs_list) == 1:
+        k = scalar_limbs_list[0]
+        return [msm_tile_host(points_affine_mont[: k.shape[0]], k, interpret)]
+    n = points_affine_mont.shape[0]
+    lane = SUB_T * 128
+    npad = (-n) % lane
+    if npad:
+        pad_pt = jnp.broadcast_to(
+            points_affine_mont[:1], (npad,) + points_affine_mont.shape[1:]
+        )
+        points_affine_mont = jnp.concatenate([points_affine_mont, pad_pt])
+        n += npad
+    tiles = n // lane
+    digs, signs = [], []
+    for sl in scalar_limbs_list:
+        pad = n - sl.shape[0]
+        if pad:
+            sl = jnp.concatenate([sl, jnp.zeros((pad, N_LIMBS), jnp.uint32)])
+        d, s = _signed_digits4(sl)
+        digs.append(d.reshape(W4, tiles, SUB_T, 128))
+        signs.append(s.astype(jnp.uint32).reshape(W4, tiles, SUB_T, 128))
+    px = points_affine_mont[:, 0, :].T.reshape(N_LIMBS, tiles, SUB_T, 128)
+    py = points_affine_mont[:, 1, :].T.reshape(N_LIMBS, tiles, SUB_T, 128)
+    lanes_tbl = _msm_buckets_lanes_batch(
+        px, py, jnp.stack(digs), jnp.stack(signs), interpret
+    )
+    tbls = np.asarray(jax.vmap(_reduce_lanes)(lanes_tbl))
+    return [_host_fold(t) for t in tbls]
 
 
 def _host_fold(tbl: np.ndarray):

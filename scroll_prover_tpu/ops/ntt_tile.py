@@ -25,6 +25,7 @@ Capability anchor: halo2's best_fft as consumed by the reference prover
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -278,6 +279,7 @@ class TiledDomain:
             w = self.domain.omega if not inverse else pow(self.domain.omega, p - 2, p)
             self._tables[inverse] = self._build_tables(w, inverse)
         self._perm = jnp.asarray(_stored_perm(k).astype(np.int32))
+        self._fused: dict = {}  # SPT_NTT_FUSE=1 whole-chain jits, per direction
         # scale for intt: n^{-1} in Montgomery form
         n_inv = pow(self.n, p - 2, p)
         self._n_inv = jnp.asarray(ints_to_limbs([n_inv * (1 << 256) % p])[0])
@@ -356,10 +358,25 @@ class TiledDomain:
         return a.reshape(L, B, n1 * n2)
 
     def _transform(self, x, inverse: bool):
-        # deliberately NOT one outer jit: the monolithic graph sent XLA
+        # default: NOT one outer jit — the monolithic graph sent XLA
         # compile time to ~265 s, while the per-piece kernels compile in
         # seconds; dispatches pipeline asynchronously so eager glue between
-        # jitted pieces costs no extra device time.
+        # jitted pieces costs no extra device time. SPT_NTT_FUSE=1 opts into
+        # a single-dispatch jit of the whole chain (one-time compile cost is
+        # amortized by the persistent compilation cache).
+        if os.environ.get("SPT_NTT_FUSE") == "1":
+            fused = self._fused.get(inverse)
+            if fused is None:
+                import functools as _ft
+
+                def chain(v):
+                    out = self._run(_to_lm(v), self.k, self._tables[inverse], 0)
+                    scale = self._n_inv if inverse else None
+                    return _finish(out, self._perm, scale, self.interpret)
+
+                fused = jax.jit(chain)
+                self._fused[inverse] = fused
+            return fused(x)
         lm = _to_lm(x)  # (L, 1, n)
         out = self._run(lm, self.k, self._tables[inverse], 0)
         if inverse:

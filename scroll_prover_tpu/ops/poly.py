@@ -120,3 +120,35 @@ def kzg_quotient_mont(f: LimbField, coeffs, z):
 def axpy_mont(f: LimbField, a, x, y):
     """a*x + y for scalar a (L,), vectors x, y (n, L)."""
     return fo.add_mod(f, fo.mont_mul(f, jnp.broadcast_to(a[None, :], x.shape), x), y)
+
+
+def powers_outer_mont(f: LimbField, base: int, count: int):
+    """(count, L) Montgomery table t[i] = base^i, built as a hi (x) lo outer
+    product: two HOST-built factor tables of ~sqrt(count) entries and ONE
+    device mul. A length-count prefix-product scan compiled past HBM at
+    2^23 (docs/PERF.md round 3); this stays O(sqrt) host work + one pass."""
+    from ..fields.limbs import ints_to_limbs
+
+    p = f.modulus
+    r = (1 << 256) % p
+    nl = 1 << ((count - 1).bit_length() // 2) if count > 1 else 1
+    nl = min(nl, count)
+    nh = (count + nl - 1) // nl
+    lo_ints, acc = [], 1
+    w = base % p
+    for _ in range(nl):
+        lo_ints.append(acc * r % p)
+        acc = acc * w % p
+    w_nl = pow(w, nl, p)
+    hi_ints, acc = [], 1
+    for _ in range(nh):
+        hi_ints.append(acc * r % p)
+        acc = acc * w_nl % p
+    lo_m = jnp.asarray(ints_to_limbs(lo_ints))
+    hi_m = jnp.asarray(ints_to_limbs(hi_ints))
+    out = fo.mont_mul(
+        f,
+        jnp.broadcast_to(hi_m[:, None, :], (nh, nl, N_LIMBS)),
+        jnp.broadcast_to(lo_m[None, :, :], (nh, nl, N_LIMBS)),
+    ).reshape(nh * nl, N_LIMBS)
+    return out[:count]

@@ -323,6 +323,39 @@ def kzg_commit(srs: SRS, coeffs_mont, basis: str = "monomial"):
     return msm_tile_host(base[:n], scalars)
 
 
+def kzg_commit_batch(srs: SRS, coeffs_list, basis: str = "monomial"):
+    """Commit to several (n_i, L) Montgomery coefficient columns over the
+    SAME SRS powers in one device dispatch chain: the bucket kernel takes a
+    column axis (ops/msm_tile.msm_tile_host_batch), so the per-commit
+    tunnel floor (RTT sync + table readback, ~1 s each on the tunneled
+    backend) is paid once per group. Falls back to per-column kzg_commit
+    off-device / below the device threshold."""
+    coeffs_list = list(coeffs_list)
+    if not coeffs_list:
+        return []
+    n_max = max(c.shape[0] for c in coeffs_list)
+    impl = os.environ.get("SPT_MSM_IMPL", "auto")
+    use_batch = (
+        n_max >= DEVICE_MSM_THRESHOLD
+        and impl != "scatter"
+        and (impl != "auto" or jax.default_backend() != "cpu")
+    )
+    if not use_batch:
+        return [kzg_commit(srs, c, basis) for c in coeffs_list]
+    from ..ops.msm_tile import msm_tile_host_batch
+
+    base = srs.dev_powers() if basis == "monomial" else srs.dev_lagrange()
+    # per-dispatch cap: each column's raw lane-bucket table is ~113 MB HBM
+    # at 2^20 points (W4*B4*3*L*1024 u32) — 8 columns ≈ 0.9 GB live
+    cap = int(os.environ.get("SPT_MSM_BATCH", "8"))
+    out = []
+    for i in range(0, len(coeffs_list), max(cap, 1)):
+        grp = coeffs_list[i : i + max(cap, 1)]
+        scalars = [_to_standard_limbs(c) for c in grp]
+        out.extend(msm_tile_host_batch(base[:n_max], scalars))
+    return out
+
+
 def kzg_open(srs: SRS, coeffs_mont, z: int):
     """Open f at z: returns (eval f(z) as int, witness commitment W)."""
     zm = jnp.asarray(ints_to_limbs([z * (1 << 256) % FR_MOD])[0])

@@ -30,7 +30,7 @@ from ...fields.bn254 import FR_MOD
 from ...fields.limbs import FR_LIMB, ints_to_limbs, limbs_to_ints
 from ...ops import field_ops as fo
 from ...ops import poly as poly_ops
-from ..kzg import SRS, kzg_commit
+from ..kzg import SRS, kzg_commit, kzg_commit_batch
 from ..transcript import PoseidonTranscript
 from .cs import ConstraintSystem
 from .keygen import DELTA, ProvingKey
@@ -245,8 +245,8 @@ def prove(
 
     # --- phase 1: advice commitments -------------------------------------
     advice_polys = _intt_cols(dom, advice_dev)
-    for p in advice_polys:
-        tr.write_point(kzg_commit(srs, p))
+    for c in kzg_commit_batch(srs, advice_polys):
+        tr.write_point(c)
 
     _mark("advice committed")
     theta = tr.squeeze_challenge()
@@ -287,8 +287,8 @@ def prove(
     for i, lk in enumerate(lookups):
         lk["a_poly"] = lk_polys[2 * i]
         lk["s_poly"] = lk_polys[2 * i + 1]
-        tr.write_point(kzg_commit(srs, lk["a_poly"]))
-        tr.write_point(kzg_commit(srs, lk["s_poly"]))
+    for c in kzg_commit_batch(srs, lk_polys):
+        tr.write_point(c)
 
     _mark("lookups committed")
     beta = tr.squeeze_challenge()
@@ -345,8 +345,8 @@ def prove(
         perm_z_devs.append(with_blinding(z, f"permz{len(perm_z_devs)}"))
 
     perm_z_polys = _intt_cols(dom, perm_z_devs)
-    for p in perm_z_polys:
-        tr.write_point(kzg_commit(srs, p))
+    for c in kzg_commit_batch(srs, perm_z_polys):
+        tr.write_point(c)
 
     lookup_z_devs = []
     one_sc = fo.one_mont(F)
@@ -362,8 +362,8 @@ def prove(
         z, _ = grand_product(num, den, one_sc)
         lookup_z_devs.append(with_blinding(z, f"lkz{li}"))
     lookup_z_polys = _intt_cols(dom, lookup_z_devs)
-    for zp in lookup_z_polys:
-        tr.write_point(kzg_commit(srs, zp))
+    for c in kzg_commit_batch(srs, lookup_z_polys):
+        tr.write_point(c)
 
     # --- phase 4: vanishing / quotient ------------------------------------
     _mark("grand products committed")
@@ -387,8 +387,8 @@ def prove(
         chunks, theta, beta, gamma, y, u, _debug=_debug,
     )
     _mark("quotient built")
-    for p in h_chunk_polys:
-        tr.write_point(kzg_commit(srs, p))
+    for c in kzg_commit_batch(srs, h_chunk_polys):
+        tr.write_point(c)
     _mark("quotient committed")
 
     x = tr.squeeze_challenge()
@@ -486,11 +486,13 @@ def prove(
     for _, point, _ in queries:
         if point not in points_order:
             points_order.append(point)
+    wit_polys = []
     for point in points_order:
         group = [(p, val) for (p, pt, val) in queries if pt == point]
         comb = _combine(group, v_ch)
-        q = poly_ops.kzg_quotient_mont(F, comb, _mont_scalar(point))
-        tr.write_point(kzg_commit(srs, q))
+        wit_polys.append(poly_ops.kzg_quotient_mont(F, comb, _mont_scalar(point)))
+    for c in kzg_commit_batch(srs, wit_polys):
+        tr.write_point(c)
 
     _mark("multiopen done")
     return tr.finalize()
@@ -683,8 +685,11 @@ def _build_quotient(
     import jax as _jax
 
     stream = (
-        ext_n >= (1 << 22)
-        and _jax.default_backend() != "cpu"
+        (
+            ext_n >= (1 << 22)
+            and _jax.default_backend() != "cpu"
+            or os.environ.get("SPT_FORCE_STREAM") == "1"
+        )
         and _debug is None
     )
     lact_vals = [1] * u + [0] * (n - u)
@@ -834,6 +839,18 @@ def _quotient_cosets(
     neg = lambda a: fo.neg_mod(F, a)
     P = FR_MOD
     om_pows = None  # powers of omega over H, shared by every coset
+    # every column the walk will touch, known statically from the cs: the
+    # per-coset scale-mul + size-n NTT of ALL of them runs as BATCHED
+    # dispatches (ntt_batch groups under _ntt_group) — one chain per group
+    # instead of one lazy chain per column (the tunnel dispatch latency
+    # dominated the per-column path; docs/PERF.md round 3)
+    qs = _Queries.from_cs(cs)
+    plan: list[tuple] = []
+    for kind in ("advice", "fixed", "instance"):
+        for c_ in sorted({c for c, _ in getattr(qs, kind)}):
+            plan.append(((kind, c_), by_kind[kind][c_]))
+    plan += [(tag, p) for tag, p in zpolys.items()]
+    plan += [("l0", pk.l0), ("l_last", pk.l_last), ("l_active", lact_poly)]
     accs = []
     for r in range(ratio):
         shift = dom.g_coset * pow(dom.extended_omega, r, P) % P
@@ -842,6 +859,20 @@ def _quotient_cosets(
         if om_pows is None:
             om_pows = _coset_x_outer(1, 1, n, dom.k, base=dom.omega)
         cache: dict = {}
+
+        g = _ntt_group(n)
+        for i in range(0, len(plan), g):
+            grp = plan[i : i + g]
+            if len(grp) == 1:
+                t_, p_ = grp[0]
+                cache[t_] = dom.ntt(fo.mont_mul_big(F, p_, scale))
+            else:
+                stacked = jnp.stack([p_ for _, p_ in grp])
+                scaled = fo.mont_mul_big(
+                    F, stacked, jnp.broadcast_to(scale, stacked.shape)
+                )
+                for (t_, _), e_ in zip(grp, dom.ntt_batch(scaled)):
+                    cache[t_] = e_
 
         def col(polyc, tag):
             if tag in cache:

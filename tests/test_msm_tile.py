@@ -136,3 +136,24 @@ def test_msm_tile_all_zero_scalars_is_identity():
     pts = _points(n)
     scalars = jnp.zeros((n, N_LIMBS), jnp.uint32)
     assert msm_tile_host(_dev_points(pts), scalars, interpret=True) is None
+
+
+@pytest.mark.slow
+def test_msm_tile_host_batch_matches_single(rng):
+    """The multi-column kernel (shared points, per-column digit sets, one
+    dispatch) matches per-column msm_tile_host, including a short column
+    (zero-padded) and a zero column (identity -> None)."""
+    from scroll_prover_tpu.ops.msm_tile import msm_tile_host_batch
+
+    n = 1024
+    pts = _points(n)
+    dev_pts = _dev_points(pts)
+    cols_int = [
+        [int.from_bytes(rng.bytes(32), "big") % FR_LIMB.modulus for _ in range(n)],
+        [int(v) for v in rng.integers(1, 2**16, n // 2)],  # short (zero-pad)
+    ]
+    cols = [jnp.asarray(ints_to_limbs(c)) for c in cols_int]
+    got = msm_tile_host_batch(dev_pts, cols, interpret=True)
+    for g, ci in zip(got, cols_int):
+        want = host_msm_jac(pts[: len(ci)], ci)
+        assert g == want

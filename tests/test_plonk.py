@@ -160,3 +160,18 @@ def test_zero_scalar_fixed_base_is_identity_encoding():
     flat = limbs_to_ints(np.asarray(fo.from_mont(FQ_LIMB, out.reshape(4, -1))))
     assert (flat[0], flat[1]) == (0, 0)
     assert (flat[2], flat[3]) == g
+
+
+def test_streamed_quotient_matches_full(srs, monkeypatch):
+    """The coset-streaming quotient driver (device path for ext_n >= 2^22,
+    prover.py _quotient_cosets) is bit-equivalent to the full-domain driver:
+    same seed -> byte-identical proof. SPT_FORCE_STREAM=1 exercises it on
+    the CPU backend at test scale."""
+    circuit = MulCircuit()
+    pk, vk = keygen(srs, K, circuit)
+    seed = b"\x07" * 32
+    base = prove(srs, pk, circuit, _instance(), seed=seed)
+    monkeypatch.setenv("SPT_FORCE_STREAM", "1")
+    streamed = prove(srs, pk, circuit, _instance(), seed=seed)
+    assert streamed == base
+    assert verify(srs, vk, _instance(), streamed)
