@@ -5,10 +5,12 @@ Role parity with the reference's c-kzg + bls12_381 usage (SURVEY.md section
 4096-coeff BLS12-381 blob poly"). The scalar-field math (coefficient
 packing, barycentric evaluation at the Fiat-Shamir challenge — what the
 aggregation circuit constrains) is fully implemented over the real
-BLS12-381 scalar field. The curve-side KZG commitment currently uses a
-deterministic hash commitment with the standard versioned-hash shape
-(0x01 || sha256(commitment)[1:]); swapping in a pairing-based c-kzg
-equivalent is a later-round deepening.
+BLS12-381 scalar field. The curve-side work is REAL by default since round
+3: `blob_commitment` computes a BLS12-381 G1 KZG commitment over a
+Lagrange-basis SRS and `point_evaluation_proof` is verified with the real
+pairing (curves/bls12_381_pairing.py). SPT_STUB_BLOB_KZG=1 opts hermetic
+speed-sensitive tests into a hash stub with the same wire shape — never
+consensus-facing.
 """
 from __future__ import annotations
 

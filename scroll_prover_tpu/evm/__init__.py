@@ -6,6 +6,5 @@ in-process (integration/src/verifier.rs:18-22) — and snark-verifier's
 "EVM loader -> YUL codegen" producing evm_verifier.yul.
 """
 from .interpreter import EVM, EvmRevert, deploy_and_call  # noqa: F401
-from .yul_gen import gen_evm_verifier_yul  # noqa: F401
 from .verifier_contract import gen_verifier_bytecode  # noqa: F401
 from .harness import DEPLOYMENT_CODE_FILENAME, EVMVerifier  # noqa: F401

@@ -35,6 +35,7 @@ items 2/3.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -443,6 +444,364 @@ def _proj_to_affine(X: int, Y: int, Z: int):
         return None
     zi = pow(Z, -1, FQ_MOD)
     return (X * zi % FQ_MOD, Y * zi % FQ_MOD)
+
+
+# =====================================================================
+# v2 pipeline (round 4): out-block bucket accumulation + Pallas lane
+# reduction + inversion-free host fold.
+#
+# Round-3 profiling on the chip (2^20 points): accumulate kernel 0.49 s,
+# composed-op lane reduction 0.72 s, host fold 0.82 s — the kernel was
+# near the VPU int-mul ceiling while everything AROUND it dominated wall
+# time (VERDICT round-3 item 2). v2 changes:
+#   * window size is parameterized (SPT_MSM_C, default 6): 43 signed
+#     6-bit windows instead of 64 4-bit ones — 33% fewer mixed adds per
+#     point for a +10% one-hot sweep (B=33 buckets, 6.5 MB out block —
+#     fits VMEM now that the kernel accumulates INTO its output block,
+#     which Pallas keeps resident across the point tiles of a window).
+#   * the 1024-lane tree reduction is ONE Pallas kernel (sequential-grid
+#     accumulator, 1-padd body) instead of 10 rounds of composed XLA ops
+#     whose (…, L)-minor layout wasted 7/8 of every vector tile.
+#   * the (W, B) bucket table reads back in Montgomery form (~0.3 MB)
+#     and folds on HOST with branch-free projective bigint ops — no
+#     modular inversions until the single final affine conversion. A
+#     ~300-op device fold chain is NOT an option on this backend: a jit
+#     of 256 sequential point doubles did not finish compiling in 500 s
+#     (remote compile service; docs/PERF.md round 3).
+# =====================================================================
+
+MSM_C = int(os.environ.get("SPT_MSM_C", "6"))
+
+
+def _wb(c: int):
+    """Window count / bucket count for signed c-bit digits. Top-window
+    overflow check: scalars < 2^254, so the top raw digit is at most
+    2^(254 - c*(W-1)) - 1 plus one carry — <= 2^(c-1) for c in 4..8."""
+    W = -(-256 // c)
+    B = (1 << (c - 1)) + 1
+    return W, B
+
+
+@jax.jit
+def _msm_prep_points(points_affine_mont):
+    """(n, 2, L) Montgomery affine (n a lane multiple) -> px, py
+    (L, tiles, st, 128)."""
+    n = points_affine_mont.shape[0]
+    tiles = n // (SUB_T * 128)
+    px = points_affine_mont[:, 0, :].T.reshape(N_LIMBS, tiles, SUB_T, 128)
+    py = points_affine_mont[:, 1, :].T.reshape(N_LIMBS, tiles, SUB_T, 128)
+    return px, py
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def _msm_prep_digits(scalar_limbs, c: int):
+    """(n, L) standard scalar limbs (n a lane multiple) -> signed digits
+    and signs, each (W, tiles, st, 128). One compiled program: the round-3
+    eager prep (digit scan on (n,)-shaped arrays) cost 0.11 s at 2^20 from
+    1-sublane tiling alone."""
+    W, _B = _wb(c)
+    n = scalar_limbs.shape[0]
+    tiles = n // (SUB_T * 128)
+    sl = scalar_limbs.reshape(tiles, SUB_T, 128, N_LIMBS)
+    mask = jnp.uint32((1 << c) - 1)
+    parts = []
+    for w in range(W):
+        bit = w * c
+        limb = bit // 16
+        sh = bit % 16
+        v = sl[..., limb] >> sh
+        if sh + c > 16 and limb + 1 < N_LIMBS:
+            v = v | (sl[..., limb + 1] << (16 - sh))
+        parts.append(v & mask)
+    digs = jnp.stack(parts)  # (W, tiles, st, 128) in [0, 2^c)
+    half = jnp.uint32(1 << (c - 1))
+    full = jnp.uint32(1 << c)
+
+    def body(carry, d):
+        e = d + carry
+        neg = e > half
+        out = jnp.where(neg, full - e, e)
+        return neg.astype(jnp.uint32), (out, neg.astype(jnp.uint32))
+
+    carry0 = jnp.zeros(digs.shape[1:], jnp.uint32)
+    _carry, (out, signs) = jax.lax.scan(body, carry0, digs)
+    return out, signs
+
+
+def _msm_accum_kernel(px_ref, py_ref, d_ref, s_ref, c_ref, o_ref, *, B: int, t_axis: int):
+    """Accumulate one (window, point-tile) step directly into the output
+    block (1, B, 3, L, st, 128), which Pallas keeps VMEM-resident across
+    the tiles of a window (index map constant in t) — no scratch, no
+    flush; VMEM budget is ONE bucket table instead of two."""
+    t = pl.program_id(t_axis)
+    p = [c_ref[l, 0] for l in range(N_LIMBS)]
+    b3 = [c_ref[l, 1] for l in range(N_LIMBS)]
+
+    @pl.when(t == 0)
+    def _init():
+        zero = jnp.zeros(o_ref.shape[1:2] + o_ref.shape[4:], jnp.uint32)
+        for l in range(N_LIMBS):
+            o_ref[0, :, 0, l] = zero
+            o_ref[0, :, 2, l] = zero
+            o_ref[0, :, 1, l] = jnp.broadcast_to(c_ref[l, 2], zero.shape)
+
+    qx = [px_ref[l, 0] for l in range(N_LIMBS)]
+    qy = [py_ref[l, 0] for l in range(N_LIMBS)]
+    d = d_ref[0, 0]
+    sgn = s_ref[0, 0] != 0
+    zero = [jnp.zeros_like(q) for q in qy]
+    neg_y = _kl_sub(p, zero, qy)
+    qy = _kl_select(sgn, neg_y, qy)
+
+    masks = [d == jnp.uint32(b) for b in range(B)]
+    curx = [jnp.zeros_like(d) for _ in range(N_LIMBS)]
+    cury = [jnp.zeros_like(d) for _ in range(N_LIMBS)]
+    curz = [jnp.zeros_like(d) for _ in range(N_LIMBS)]
+    for b in range(B):
+        m = masks[b]
+        for l in range(N_LIMBS):
+            curx[l] = jnp.where(m, o_ref[0, b, 0, l], curx[l])
+            cury[l] = jnp.where(m, o_ref[0, b, 1, l], cury[l])
+            curz[l] = jnp.where(m, o_ref[0, b, 2, l], curz[l])
+
+    nx, ny, nz = _kl_madd(p, b3, curx, cury, curz, qx, qy)
+
+    for b in range(B):
+        m = masks[b]
+        for l in range(N_LIMBS):
+            o_ref[0, b, 0, l] = jnp.where(m, nx[l], o_ref[0, b, 0, l])
+            o_ref[0, b, 1, l] = jnp.where(m, ny[l], o_ref[0, b, 1, l])
+            o_ref[0, b, 2, l] = jnp.where(m, nz[l], o_ref[0, b, 2, l])
+
+
+@functools.partial(jax.jit, static_argnames=("B", "interpret"))
+def _accum_v2(px, py, digs, signs, B: int, interpret: bool = False):
+    """px/py (L, tiles, st, 128); digs/signs (WC, tiles, st, 128) where WC
+    may be C*W flattened column-major (batch). Returns the per-lane bucket
+    table (WC, B, 3, L, st, 128)."""
+    L, tiles, st, lanes = px.shape
+    WC = digs.shape[0]
+    consts = jnp.asarray(_consts())
+    pt_spec = pl.BlockSpec((L, 1, st, lanes), lambda w, t: (0, t, 0, 0))
+    dg_spec = pl.BlockSpec((1, 1, st, lanes), lambda w, t: (w, t, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_msm_accum_kernel, B=B, t_axis=1),
+        out_shape=jax.ShapeDtypeStruct((WC, B, 3, L, st, lanes), jnp.uint32),
+        grid=(WC, tiles),
+        in_specs=[
+            pt_spec,
+            pt_spec,
+            dg_spec,
+            dg_spec,
+            pl.BlockSpec((L, 3), lambda w, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, B, 3, L, st, lanes), lambda w, t: (w, 0, 0, 0, 0, 0)
+        ),
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(px, py, digs, signs, consts)
+
+
+def _lane_reduce_kernel(in_ref, c_ref, o_ref, *, steps: int):
+    """Sequential-grid lane accumulator: grid (J, I) over a (3, L, m, Wp)
+    table; the output block (3, L, 8, 128) is revisited across I, so 8
+    sublane partial sums accumulate in VMEM with a 1-padd body."""
+    i = pl.program_id(1)
+    p = [c_ref[l, 0] for l in range(N_LIMBS)]
+    b3 = [c_ref[l, 1] for l in range(N_LIMBS)]
+
+    @pl.when(i == 0)
+    def _init():
+        zero = jnp.zeros(o_ref.shape[2:], jnp.uint32)
+        for l in range(N_LIMBS):
+            o_ref[0, l] = zero
+            o_ref[2, l] = zero
+            o_ref[1, l] = jnp.broadcast_to(c_ref[l, 2], zero.shape)
+
+    ax = [o_ref[0, l] for l in range(N_LIMBS)]
+    ay = [o_ref[1, l] for l in range(N_LIMBS)]
+    az = [o_ref[2, l] for l in range(N_LIMBS)]
+    bx = [in_ref[0, l] for l in range(N_LIMBS)]
+    by = [in_ref[1, l] for l in range(N_LIMBS)]
+    bz = [in_ref[2, l] for l in range(N_LIMBS)]
+    nx, ny, nz = _kl_padd(p, b3, ax, ay, az, bx, by, bz)
+    for l in range(N_LIMBS):
+        o_ref[0, l] = nx[l]
+        o_ref[1, l] = ny[l]
+        o_ref[2, l] = nz[l]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _lane_reduce_v2(tbl, interpret: bool = False):
+    """(WC, B, 3, L, st, 128) per-lane buckets -> (WC, B, 3, L) bucket
+    table: transpose so the 1024 lane-slots ride the sublane axis and the
+    (WC*B) bucket columns ride the lanes, one sequential-accumulator
+    Pallas pass to 8 partial sums, then a 3-round composed tail on the
+    tiny remainder."""
+    WC, B, _3, L, st, lanes = tbl.shape
+    m = st * lanes
+    wb = WC * B
+    wbp = -(-wb // 128) * 128
+    t = tbl.transpose(2, 3, 4, 5, 0, 1).reshape(3, L, m, wb)
+    if wbp != wb:
+        # pad columns with identity points (z=0 is enough: padd treats
+        # x=0,y=0,z=0 as... NOT identity; use y=one). Build explicit pad.
+        padx = jnp.zeros((3, L, m, wbp - wb), jnp.uint32)
+        one = jnp.asarray(_consts())[:, 2]
+        pady = jnp.broadcast_to(one[None, :, None, None], (1, L, m, wbp - wb))
+        pad = jnp.concatenate([padx[:1], pady, padx[:1]], axis=0)
+        t = jnp.concatenate([t, pad], axis=3)
+    consts = jnp.asarray(_consts())
+    out = pl.pallas_call(
+        functools.partial(_lane_reduce_kernel, steps=m // 8),
+        out_shape=jax.ShapeDtypeStruct((3, L, 8, wbp), jnp.uint32),
+        grid=(wbp // 128, m // 8),
+        in_specs=[
+            pl.BlockSpec((3, L, 8, 128), lambda j, i: (0, 0, i, j)),
+            pl.BlockSpec((L, 3), lambda j, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((3, L, 8, 128), lambda j, i: (0, 0, 0, j)),
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(t, consts)
+    # composed 8 -> 1 sublane tail (tiny: 7 element-padds per column)
+    p = [jnp.uint32(v) for v in np.asarray(FQ.p_limbs)]
+    b3l = [jnp.uint32(v) for v in np.asarray(_consts())[:, 1]]
+    x = [out[0, l] for l in range(L)]
+    y = [out[1, l] for l in range(L)]
+    z = [out[2, l] for l in range(L)]
+    h = 4
+    while h >= 1:
+        lox = [a[:h] for a in x]; hix = [a[h : 2 * h] for a in x]
+        loy = [a[:h] for a in y]; hiy = [a[h : 2 * h] for a in y]
+        loz = [a[:h] for a in z]; hiz = [a[h : 2 * h] for a in z]
+        x, y, z = _kl_padd(p, b3l, lox, loy, loz, hix, hiy, hiz)
+        h //= 2
+    flat = jnp.stack(
+        [jnp.stack(x, 0), jnp.stack(y, 0), jnp.stack(z, 0)], 0
+    )  # (3, L, 1, wbp)
+    return flat[:, :, 0, :wb].transpose(2, 0, 1).reshape(WC, B, 3, L)
+
+
+# --- host projective fold (Montgomery in, one inversion out) -------------
+
+_R_INV = None
+
+
+def _host_fold_mont(tbl: np.ndarray, c: int):
+    """(W, B, 3, L) uint32 Montgomery projective bucket table -> affine
+    int point or None. Branch-free complete projective adds (RCB15 alg 7,
+    a=0) on Python ints; the only modular inversion is the final affine
+    conversion."""
+    from ..fields.bn254 import FQ_MOD as P
+
+    global _R_INV
+    if _R_INV is None:
+        _R_INV = pow(1 << 256, -1, P)
+    W, B = tbl.shape[0], tbl.shape[1]
+    flat = np.ascontiguousarray(tbl.reshape(W * B * 3, N_LIMBS)).astype(np.uint16)
+    buf = flat.astype("<u2").tobytes()
+    rinv = _R_INV
+    vals = [
+        int.from_bytes(buf[32 * i : 32 * (i + 1)], "little") * rinv % P
+        for i in range(W * B * 3)
+    ]
+
+    def proj_add(a, b):
+        X1, Y1, Z1 = a
+        X2, Y2, Z2 = b
+        t0 = X1 * X2 % P
+        t1 = Y1 * Y2 % P
+        t2 = Z1 * Z2 % P
+        t3 = ((X1 + Y1) * (X2 + Y2) - t0 - t1) % P
+        t4 = ((Y1 + Z1) * (Y2 + Z2) - t1 - t2) % P
+        y3 = ((X1 + Z1) * (X2 + Z2) - t0 - t2) % P
+        x3 = 3 * t0 % P
+        t2b = 9 * t2 % P
+        z3 = (t1 + t2b) % P
+        t1b = (t1 - t2b) % P
+        y3b = 9 * y3 % P
+        X3 = (t3 * t1b - t4 * y3b) % P
+        Y3 = (t1b * z3 + y3b * x3) % P
+        Z3 = (t4 * z3 + t3 * x3) % P
+        return X3, Y3, Z3
+
+    def proj_dbl(a):
+        return proj_add(a, a)
+
+    IDENT = (0, 1, 0)
+    total = IDENT
+    for w in range(W - 1, -1, -1):
+        if total != IDENT:
+            for _ in range(c):
+                total = proj_dbl(total)
+        run = IDENT
+        acc = IDENT
+        base = w * B
+        for b in range(B - 1, 0, -1):
+            i = (base + b) * 3
+            pt = (vals[i], vals[i + 1], vals[i + 2])
+            if pt[2] != 0:
+                run = proj_add(run, pt) if run != IDENT else pt
+            if run != IDENT:
+                acc = proj_add(acc, run) if acc != IDENT else run
+        if acc != IDENT:
+            total = proj_add(total, acc) if total != IDENT else acc
+    if total == IDENT or total[2] == 0:
+        return None
+    zi = pow(total[2], -1, P)
+    return (total[0] * zi % P, total[1] * zi % P)
+
+
+def _pad_points_scalars(points, scalars_list):
+    """Pad points to a lane multiple with copies of point 0 and each scalar
+    column to the padded n with zeros (discarded bucket)."""
+    n = points.shape[0]
+    lane = SUB_T * 128
+    npad = (-n) % lane
+    if npad:
+        pad_pt = jnp.broadcast_to(points[:1], (npad,) + points.shape[1:])
+        points = jnp.concatenate([points, pad_pt])
+        n += npad
+    out = []
+    for sl in scalars_list:
+        pad = n - sl.shape[0]
+        if pad:
+            sl = jnp.concatenate([sl, jnp.zeros((pad, N_LIMBS), jnp.uint32)])
+        out.append(sl)
+    return points, out
+
+
+def msm_v2_host_batch(points_affine_mont, scalar_limbs_list, c: int | None = None,
+                      interpret: bool = False):
+    """C MSMs over SHARED points in one kernel chain + one small readback.
+    Returns C host affine points (or None)."""
+    c = MSM_C if c is None else c
+    W, B = _wb(c)
+    points, scalars = _pad_points_scalars(points_affine_mont, scalar_limbs_list)
+    C = len(scalars)
+    px, py = _msm_prep_points(points)
+    digs_all, signs_all = [], []
+    for sl in scalars:
+        d, s = _msm_prep_digits(sl, c)
+        digs_all.append(d)
+        signs_all.append(s)
+    digs = jnp.concatenate(digs_all, axis=0)    # (C*W, tiles, st, 128)
+    signs = jnp.concatenate(signs_all, axis=0)
+    lanes_tbl = _accum_v2(px, py, digs, signs, B, interpret)
+    tbl = _lane_reduce_v2(lanes_tbl, interpret)  # (C*W, B, 3, L)
+    tbl_h = np.asarray(tbl).reshape(C, W, B, 3, N_LIMBS)
+    return [_host_fold_mont(t, c) for t in tbl_h]
+
+
+def msm_v2_host(points_affine_mont, scalar_limbs, c: int | None = None,
+                interpret: bool = False):
+    return msm_v2_host_batch(points_affine_mont, [scalar_limbs], c, interpret)[0]
 
 
 def _msm_tbl(points_affine_mont, scalar_limbs, interpret: bool = False):

@@ -318,9 +318,9 @@ def kzg_commit(srs: SRS, coeffs_mont, basis: str = "monomial"):
         # composed-op path (CPU test backend: pallas TPU kernels don't run)
         pt = msm.msm_padded(base[:n], scalars)
         return ec.decode_point(pt)
-    from ..ops.msm_tile import msm_tile_host
+    from ..ops.msm_tile import msm_v2_host
 
-    return msm_tile_host(base[:n], scalars)
+    return msm_v2_host(base[:n], scalars)
 
 
 def kzg_commit_batch(srs: SRS, coeffs_list, basis: str = "monomial"):
@@ -342,17 +342,18 @@ def kzg_commit_batch(srs: SRS, coeffs_list, basis: str = "monomial"):
     )
     if not use_batch:
         return [kzg_commit(srs, c, basis) for c in coeffs_list]
-    from ..ops.msm_tile import msm_tile_host_batch
+    from ..ops.msm_tile import msm_v2_host_batch
 
     base = srs.dev_powers() if basis == "monomial" else srs.dev_lagrange()
-    # per-dispatch cap: each column's raw lane-bucket table is ~113 MB HBM
-    # at 2^20 points (W4*B4*3*L*1024 u32) — 8 columns ≈ 0.9 GB live
+    # per-dispatch cap: each column's raw lane-bucket table is ~278 MB HBM
+    # at 2^20 points with 6-bit windows (W*B*3*L*1024 u32); 8 columns plus
+    # the reduction transpose ≈ 4.5 GB transient of the 16 GB HBM
     cap = int(os.environ.get("SPT_MSM_BATCH", "8"))
     out = []
     for i in range(0, len(coeffs_list), max(cap, 1)):
         grp = coeffs_list[i : i + max(cap, 1)]
         scalars = [_to_standard_limbs(c) for c in grp]
-        out.extend(msm_tile_host_batch(base[:n_max], scalars))
+        out.extend(msm_v2_host_batch(base[:n_max], scalars))
     return out
 
 

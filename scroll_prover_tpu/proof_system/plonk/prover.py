@@ -344,10 +344,6 @@ def prove(
         z, last_z = grand_product(num, den, last_z)
         perm_z_devs.append(with_blinding(z, f"permz{len(perm_z_devs)}"))
 
-    perm_z_polys = _intt_cols(dom, perm_z_devs)
-    for c in kzg_commit_batch(srs, perm_z_polys):
-        tr.write_point(c)
-
     lookup_z_devs = []
     one_sc = fo.one_mont(F)
     for li, lk in enumerate(lookups):
@@ -361,14 +357,23 @@ def prove(
         )
         z, _ = grand_product(num, den, one_sc)
         lookup_z_devs.append(with_blinding(z, f"lkz{li}"))
+
+    # ONE commit dispatch for perm Zs + lookup Zs + the random poly: no
+    # challenge is squeezed between these transcript writes, so batching
+    # them preserves the transcript byte stream while paying the
+    # per-dispatch tunnel floor once instead of three times (VERDICT
+    # round-3 weak #4: per-commit MSM floor).
+    perm_z_polys = _intt_cols(dom, perm_z_devs)
     lookup_z_polys = _intt_cols(dom, lookup_z_devs)
-    for c in kzg_commit_batch(srs, lookup_z_polys):
+    random_poly = dom.intt(_encode_mont(_blind(seed, "rand", n)))
+    phase3_commits = kzg_commit_batch(
+        srs, perm_z_polys + lookup_z_polys + [random_poly]
+    )
+    for c in phase3_commits:
         tr.write_point(c)
 
     # --- phase 4: vanishing / quotient ------------------------------------
     _mark("grand products committed")
-    random_poly = dom.intt(_encode_mont(_blind(seed, "rand", n)))
-    tr.write_point(kzg_commit(srs, random_poly))
     y = tr.squeeze_challenge()
 
     instance_polys = _intt_cols(dom, inst_dev)

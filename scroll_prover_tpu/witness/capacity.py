@@ -60,6 +60,25 @@ _RLP_ROWS_PER_BYTE = 2.0
 _PI_ROWS_PER_TX = 11000
 _KECCAK_ROWS_PER_TX, _KECCAK_ROWS_PER_BYTE = 2300, 7.4
 _SIG_ROWS_PER_TX, _SIG_ROWS_PER_BYTE = 7300, 6.9
+# Execution-dependent circuits (evm/state/bytecode/copy/mpt/poseidon):
+# chunk byte statistics CANNOT predict these tightly — across the 290
+# mainnet chunks in the reference batch-task fixtures the per-tx spread is
+# ~17x (evm 7.3k..122k rows/tx), because load is set by execution, not tx
+# bytes. These coefficients are admission-control CEILINGS: ~1.1x the
+# worst per-tx usage observed on the profile, so a bytes-only proposer
+# never under-seals a chunk. The accurate path is the trace-driven
+# CircuitCapacityChecker (row_usage_of_witness_block), mirroring the
+# reference where the signer CCC always replays full traces
+# (integration/src/capacity_checker.rs:130-140).
+_CEILING_ROWS_PER_TX = {
+    "evm": 135_000,
+    "state": 159_000,
+    "bytecode": 88_000,
+    "copy": 47_000,
+    "mpt": 13_000,
+    "poseidon": 27_000,
+    "exp": 200,
+}
 # signed-tx envelope overhead when only calldata lengths are known
 # (nonce/gas/price/to/value/v/r/s fields + list header ~= 112 B/tx)
 _TX_ENVELOPE_BYTES = 112
@@ -158,14 +177,19 @@ def row_usage_of_witness_block(wb: WitnessBlock) -> RowUsage:
     )
 
 
-def row_usage_from_chunk_stats(num_txs: int, num_tx_bytes: int) -> RowUsage:
+def row_usage_from_chunk_stats(
+    num_txs: int, num_tx_bytes: int, ceilings: bool = False
+) -> RowUsage:
     """Row estimate from chunk-level statistics alone (tx count + signed-tx
     byte size, both recoverable from a ChunkInfo's tx_bytes stream via
     witness.tx_bytes.scan_tx_lengths). Covers the subcircuits whose load is
-    determined by the transaction stream; trace-dependent circuits (evm,
-    state, copy, ...) report 0 — use row_usage_of_witness_block with full
-    traces for those. Calibrated against the reference batch-task fixtures
-    (see constants above)."""
+    determined by the transaction stream; with ceilings=True the
+    execution-dependent circuits (evm, state, bytecode, copy, mpt,
+    poseidon) additionally report admission-control upper bounds (see
+    _CEILING_ROWS_PER_TX — never under-estimating on the 290-chunk mainnet
+    profile), otherwise they report 0 — use row_usage_of_witness_block
+    with full traces for accurate numbers. Calibrated against the
+    reference batch-task fixtures (constants above)."""
     vals = {
         "tx": math.ceil(_TX_ROWS_PER_BYTE * num_tx_bytes),
         "rlp": math.ceil(_RLP_ROWS_PER_BYTE * num_tx_bytes),
@@ -175,6 +199,9 @@ def row_usage_from_chunk_stats(num_txs: int, num_tx_bytes: int) -> RowUsage:
         ),
         "sig": math.ceil(_SIG_ROWS_PER_TX * num_txs + _SIG_ROWS_PER_BYTE * num_tx_bytes),
     }
+    if ceilings:
+        for sub, per_tx in _CEILING_ROWS_PER_TX.items():
+            vals[sub] = per_tx * num_txs
     return RowUsage(
         [SubCircuitRowUsage(n, vals.get(n, 0)) for n in SUB_CIRCUIT_NAMES]
     )

@@ -21,9 +21,13 @@ Constraint depth by subcircuit in this round:
   * sig       — REAL: recovered+verified (msg_hash, r, s, addr) table
     rows; in-circuit secp256k1 ECDSA verification of the first
     SPT_SIG_CAP events (~295k rows each — k>=19 production domains)
-  * keccak/sha256/rlp/mod_exp/ecc — table form: witness rows
-    committed with tag/selector structure; semantic gates land in later
-    rounds (reference scope is ~150k LoC of circuits, SURVEY.md section 2.2)
+  * keccak-f  — REAL: fully-constrained lane-parallel keccak-f[1600]
+    permutation rows for bytecode hashes (cap via SPT_KECCAK_CAP)
+  * sha256    — REAL: constrained compression-function circuit
+    (SPT_SHA256_CAP 512-bit blocks)
+  * rlp       — REAL: constrained RLP parser over the tx signing payloads
+  * mod_exp   — REAL: in-circuit square-and-multiply per event
+  * ecc       — REAL: BN254 precompile operands verified in-circuit
 """
 from __future__ import annotations
 

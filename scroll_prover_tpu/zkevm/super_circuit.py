@@ -28,12 +28,10 @@ from .subcircuits import (
     BytecodeSubCircuit, CopySubCircuit, EccSubCircuit, EvmSubCircuit,
     ExpSubCircuit, KeccakSubCircuit, ModExpSubCircuit, MptSubCircuit,
     PiSubCircuit, PoseidonSubCircuit, SigSubCircuit, StateSubCircuit,
-    TableSubCircuit, TxSubCircuit,
+    TxSubCircuit,
 )
 
 INNER_DEGREE = 20  # production inner-circuit degree (reference README.md:21)
-
-_TABLE_SUBCIRCUITS = []
 
 
 def _sha256_cap() -> int:
@@ -167,11 +165,6 @@ class ScrollSuperCircuit(Circuit):
         )
         self.rlp = RlpSubCircuit().configure(cs, self.byte_table, self.tx)
         self.sha256 = Sha256SubCircuit().configure(cs, cap=_sha256_cap())
-        # the 6 committed-table subcircuits share one physical table with a
-        # which-subcircuit id column (keeps the advice count — and hence
-        # proof size and compression-layer domains — small)
-        self.shared_table = TableSubCircuit("tables", width=2).configure(cs)
-        self.table_id = cs.advice_column()
         self.row_usages_: dict[str, int] = {}
 
     def assign(self, cs: ConstraintSystem, n: int, instance):
@@ -206,15 +199,6 @@ class ScrollSuperCircuit(Circuit):
         )
         used["rlp"] = self.rlp.assign(cs, fixed, adv, n, wb, 0)
         used["sha256"] = self.sha256.assign(cs, fixed, adv, n, wb, 0)
-        usage = row_usage_of_witness_block(wb).as_dict()
-        row = 0
-        for ti, name in enumerate(_TABLE_SUBCIRCUITS):
-            rows = min(usage.get(name, 0), _TABLE_REGION_CAP // 8)
-            got = self.shared_table.assign(cs, fixed, adv, n, rows, row)
-            for r in range(row, row + got):
-                adv[self.table_id.index][r] = ti + 1
-            row += got
-            used[name] = got
         self.row_usages_ = used
         return {"fixed": fixed, "advice": adv}
 

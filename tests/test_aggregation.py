@@ -78,21 +78,6 @@ def srs():
     return kzg.SRS.generate(5)
 
 
-def test_compression_circuit_mock():
-    from scroll_prover_tpu.prover.compression import CompressionCircuit
-
-    inner_instances = [5, 6, 7]
-    inner_proof = bytes(range(200))
-    c = CompressionCircuit(inner_instances, inner_proof)
-    prover = MockProver.run(c.min_k(), c, c.instance_for())
-    prover.assert_satisfied()
-    # tampered digest must fail
-    inst = c.instance_for()
-    inst[0][0] = (inst[0][0] + 1) % BLS_MODULUS
-    fails = MockProver.run(c.min_k(), c, inst).verify()
-    assert any(f.kind == "copy" for f in fails)
-
-
 def test_batch_circuit_mock_chaining():
     from scroll_prover_tpu.aggregator.circuits import BatchCircuit
 

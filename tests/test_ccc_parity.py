@@ -79,6 +79,38 @@ def test_row_usage_within_reference_bounds():
     assert worst["rlp"][0] > 0.8 and worst["rlp"][1] < 1.25, worst["rlp"]
 
 
+def test_execution_circuit_ceilings_never_underestimate():
+    """evm/state/bytecode/copy/mpt/poseidon cannot be predicted from chunk
+    bytes (the mainnet profile shows a ~17x per-tx spread — load is set by
+    execution), so the bytes-only estimator reports admission-control
+    CEILINGS for them. Safety property, mirroring the reference's
+    compare_ccc_results invariant (capacity_checker.rs:248 `r+1 >= l`):
+    the ceiling must never under-estimate the reference prover's measured
+    usage on any of the 290 mainnet chunks. A median-ratio cap keeps the
+    ceilings from regressing into uselessness."""
+    import statistics
+
+    subs = ("evm", "state", "bytecode", "copy", "mpt", "poseidon")
+    ratios = {s: [] for s in subs}
+    for name, ci, ref in _chunks():
+        raw = base64.b64decode(ci["tx_bytes"])
+        lens = scan_tx_lengths(raw)
+        est = row_usage_from_chunk_stats(
+            len(lens), len(raw), ceilings=True
+        ).as_dict()
+        for sub in subs:
+            if ref[sub] == 0:
+                continue
+            assert est[sub] >= ref[sub], (
+                f"{name}: {sub} ceiling {est[sub]} under-estimates "
+                f"reference usage {ref[sub]}"
+            )
+            ratios[sub].append(est[sub] / ref[sub])
+    for sub in subs:
+        med = statistics.median(ratios[sub])
+        assert med <= 25, f"{sub} ceiling uselessly loose (median {med:.1f}x)"
+
+
 def test_subcircuit_name_order_matches_reference():
     _name, _ci, ref = next(_chunks())
     assert list(ref.keys()) == SUB_CIRCUIT_NAMES

@@ -2,7 +2,7 @@
 import pytest
 
 from scroll_prover_tpu.evm import (
-    EvmRevert, deploy_and_call, gen_evm_verifier_yul, gen_verifier_bytecode,
+    EvmRevert, deploy_and_call, gen_verifier_bytecode,
 )
 from scroll_prover_tpu.evm.interpreter import EVM
 from scroll_prover_tpu.curves.bn254_curve import G1, g1_generator
@@ -100,5 +100,3 @@ def test_plonk_proof_through_evm(srs):
     )
     gas = deploy_and_call(bytecode, calldata)
     assert gas > 100_000  # pairing gas dominates
-    yul = gen_evm_verifier_yul(vk, srs6, 1)
-    assert 'object "plonk_verifier"' in yul and "staticcall(gas(), 0x8" in yul
