@@ -88,3 +88,27 @@ def ecrecover(z: int, v: int, r: int, s: int) -> Point:
     if q is None or not ecdsa_verify(z, r, s, q):
         return None
     return q
+
+
+# --- GLV endomorphism (in-circuit ECDSA cost halver, gadgets/ecdsa.py) ------
+# phi(x, y) = (BETA*x, y) satisfies phi(P) = LAMBDA*P; constants from the
+# curve's CM structure (BETA^3 = 1 mod P, LAMBDA^3 = 1 mod N).
+LAMBDA = 0x5363AD4CC05C30E0A5261C028812645A122E22EA20816678DF02967C1B23BD72
+BETA = 0x7AE96A2B657C07106E64479EAC3434E99CF0497512F58995C1396C28719501EE
+_G1A = 0x3086D221A7D46BCDE86C90E49284EB15
+_G1B = -0xE4437ED6010E88286F547FA90ABFE4C3
+_G2A = 0x114CA50F7A8E2F3F657C1108D9D44CFD8
+_G2B = _G1A
+
+
+def glv_split(u: int) -> tuple[int, int]:
+    """u mod N -> (k1, k2) with u ≡ k1 + k2*LAMBDA (mod N) and
+    |k1|, |k2| <= 2^128 (round-to-nearest lattice reduction)."""
+    u = u % N
+    c1 = (_G2B * u + N // 2) // N
+    c2 = (-_G1B * u + N // 2) // N
+    k1 = u - c1 * _G1A - c2 * _G2A
+    k2 = -c1 * _G1B - c2 * _G2B
+    assert (k1 + k2 * LAMBDA - u) % N == 0
+    assert abs(k1).bit_length() <= 128 and abs(k2).bit_length() <= 128
+    return k1, k2

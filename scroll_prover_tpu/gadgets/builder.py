@@ -1,24 +1,37 @@
 """Row-oriented arithmetic chip: the gadget substrate.
 
-One wide custom gate over 5 advice columns w0..w4 with per-row fixed
-coefficients (all fixed columns, zero outside used rows, so the gate
-vanishes on blinding rows):
+LANES parallel copies of one wide custom gate, each over 5 advice columns
+w0..w4 with per-row fixed coefficients (all fixed columns, zero outside
+used rows, so the gate vanishes on blinding rows):
 
     qm*(w0*w1) + qm2*(w2*w3) + qa*w0 + qb*w1 + qc*w2 + qd*w3 + qe*w4 + qk = 0
 
-plus a boolean toggle gate `qbool * w0 * (w0 - 1) = 0` and range lookups on
-(w0, w1, w3, w4) against a 2^lookup_bits fixed table. Values flow between
-rows via copy (permutation) constraints — the flattened-layouter equivalent
-of halo2-base's vertical gate (SURVEY.md section 2.2 halo2-base row;
-reference layer configs parameterize the same knobs: num_advice,
-lookup_bits — /root/reference/integration/configs/layer2.config).
+plus a boolean toggle gate `qbool * w0 * (w0 - 1)` per lane. Primitive ops
+are dealt round-robin across lanes, so a gadget program of N ops occupies
+ceil(N / lanes) rows — the width/rows trade the reference tunes with
+num_advice in its layer configs (/root/reference/integration/configs/
+layer*.config; zkevm-circuits' sig circuit packs ~100 advice columns the
+same way). Range checks live on a SEPARATE set of lookup-advice columns
+(halo2-base's num_lookup_advice design): each lookup column carries one
+fixed-selector lookup into the shared 2^lookup_bits table, and range
+chunks fill lookup slots round-robin with their own row cursor — so the
+lookup-argument count is set by `lookup_cols`, not by lane count, and
+range-heavy programs advance the two cursors independently.
+
+Values flow between rows/lanes via copy (permutation) constraints — the
+flattened-layouter equivalent of halo2-base's vertical gate (SURVEY.md
+section 2.2 halo2-base row).
 
 The builder runs the SAME op sequence at keygen (dummy witness) and prove
 time; fixed-column content derives only from the op sequence, so circuit
 programs must be value-independent (no branching on witness values).
+
+Shape knobs: `lanes` / `lookup_cols` arguments, or SPT_BUILDER_LANES /
+SPT_BUILDER_LOOKUP_COLS env defaults.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from ..fields.bn254 import FR_MOD
@@ -34,7 +47,6 @@ class Cell:
 
 # fixed-coefficient slots, in declaration order
 _COEFFS = ("qm", "qm2", "qa", "qb", "qc", "qd", "qe", "qk")
-_RANGE_SLOTS = (0, 1, 3, 4)  # advice columns carrying range-checked cells
 
 
 class Builder:
@@ -42,29 +54,53 @@ class Builder:
 
     W = 5
 
-    def configure(self, cs: ConstraintSystem, lookup_bits: int = 12):
+    def configure(
+        self,
+        cs: ConstraintSystem,
+        lookup_bits: int = 12,
+        lanes: int | None = None,
+        lookup_cols: int | None = None,
+    ):
         self.lookup_bits = lookup_bits
-        self.w = [cs.advice_column() for _ in range(self.W)]
-        self.q = {name: cs.fixed_column() for name in _COEFFS}
-        self.qbool = cs.fixed_column()
-        self.range_table = cs.fixed_column()
-        self.q_range = {s: cs.fixed_column() for s in _RANGE_SLOTS}
-        for wc in self.w:
-            cs.enable_permutation(wc)
-
-        q = {k: c.query() for k, c in self.q.items()}
-        w = [c.query() for c in self.w]
-        cs.gate(
-            "gadget/arith",
-            q["qm"] * (w[0] * w[1]) + q["qm2"] * (w[2] * w[3])
-            + q["qa"] * w[0] + q["qb"] * w[1] + q["qc"] * w[2]
-            + q["qd"] * w[3] + q["qe"] * w[4] + q["qk"],
+        self.lanes = (
+            lanes
+            if lanes is not None
+            else max(int(os.environ.get("SPT_BUILDER_LANES", "1")), 1)
         )
-        cs.gate("gadget/bool", self.qbool.query() * w[0] * (w[0] - 1))
-        for s in _RANGE_SLOTS:
+        if lookup_cols is None:
+            lookup_cols = int(
+                os.environ.get("SPT_BUILDER_LOOKUP_COLS", str(4 * self.lanes))
+            )
+        self.n_lookup = max(min(lookup_cols, 64), 1)
+        self.w = []      # lane -> [5 advice columns]
+        self.q = []      # lane -> {coeff name -> fixed column}
+        self.qbool = []  # lane -> fixed column
+        for _lane in range(self.lanes):
+            wl = [cs.advice_column() for _ in range(self.W)]
+            ql = {name: cs.fixed_column() for name in _COEFFS}
+            qb = cs.fixed_column()
+            self.w.append(wl)
+            self.q.append(ql)
+            self.qbool.append(qb)
+            for wc in wl:
+                cs.enable_permutation(wc)
+            qq = {k: c.query() for k, c in ql.items()}
+            wq = [c.query() for c in wl]
+            cs.gate(
+                f"gadget/arith{_lane}",
+                qq["qm"] * (wq[0] * wq[1]) + qq["qm2"] * (wq[2] * wq[3])
+                + qq["qa"] * wq[0] + qq["qb"] * wq[1] + qq["qc"] * wq[2]
+                + qq["qd"] * wq[3] + qq["qe"] * wq[4] + qq["qk"],
+            )
+            cs.gate(f"gadget/bool{_lane}", qb.query() * wq[0] * (wq[0] - 1))
+        self.range_table = cs.fixed_column()
+        self.lk = [cs.advice_column() for _ in range(self.n_lookup)]
+        self.q_lk = [cs.fixed_column() for _ in range(self.n_lookup)]
+        for j in range(self.n_lookup):
+            cs.enable_permutation(self.lk[j])
             cs.lookup(
-                f"gadget/range_w{s}",
-                [self.q_range[s].query() * self.w[s].query()],
+                f"gadget/range_lk{j}",
+                [self.q_lk[j].query() * self.lk[j].query()],
                 [self.range_table.query()],
             )
         return self
@@ -76,33 +112,42 @@ class Builder:
         self.fixed = fixed
         self.adv = adv
         self.n = n
-        self.row = row0
+        self.row0 = row0
+        self._op = 0       # arithmetic op counter (round-robin over lanes)
+        self._lkslot = 0   # range-chunk counter (round-robin over lk cols)
         for v in range(1 << self.lookup_bits):
             fixed[self.range_table.index][v] = v
         return self
 
-    def rows_used(self) -> int:
-        return self.row
+    @property
+    def row(self) -> int:
+        """Next free arithmetic row (absolute)."""
+        return self.row0 + (self._op + self.lanes - 1) // self.lanes
 
-    def _emit(self, coeffs: dict, vals: list, copies=(), ranges=()) -> list[Cell]:
-        """One gate row. vals[i] may be None (unused slot -> 0). copies is a
-        list of (slot, Cell) equal-constraints; ranges lists slots whose
-        value is range-looked-up."""
-        r = self.row
+    def rows_used(self) -> int:
+        arith = (self._op + self.lanes - 1) // self.lanes
+        rng = (self._lkslot + self.n_lookup - 1) // self.n_lookup
+        return self.row0 + max(arith, rng)
+
+    def _emit(self, coeffs: dict, vals: list, copies=(), qbool: bool = False) -> list[Cell]:
+        """One gate row on the next round-robin lane. vals[i] may be None
+        (unused slot -> 0). copies is a list of (slot, Cell)
+        equal-constraints."""
+        lane = self._op % self.lanes
+        r = self.row0 + self._op // self.lanes
         assert r < self.n - 8, "gadget region overflow"
         cells = []
         for i in range(self.W):
             v = int(vals[i]) % FR_MOD if vals[i] is not None else 0
-            self.adv[self.w[i].index][r] = v
-            cells.append(Cell(self.w[i], r, v))
+            self.adv[self.w[lane][i].index][r] = v
+            cells.append(Cell(self.w[lane][i], r, v))
         for name, cv in coeffs.items():
-            self.fixed[self.q[name].index][r] = int(cv) % FR_MOD
+            self.fixed[self.q[lane][name].index][r] = int(cv) % FR_MOD
         for slot, src in copies:
-            self.cs.copy(self.w[slot], r, src.col, src.row)
-        for slot in ranges:
-            assert slot in _RANGE_SLOTS
-            self.fixed[self.q_range[slot].index][r] = 1
-        self.row += 1
+            self.cs.copy(self.w[lane][slot], r, src.col, src.row)
+        if qbool:
+            self.fixed[self.qbool[lane].index][r] = 1
+        self._op += 1
         return cells
 
     # -- primitive ops -----------------------------------------------------
@@ -260,9 +305,9 @@ class Builder:
 
     def assert_bit(self, c: Cell):
         """Boolean-constrain a cell in place: re-expose it on a qbool row."""
-        r = self.row
-        out = self._emit({}, [c.val, None, None, None, None], copies=[(0, c)])
-        self.fixed[self.qbool.index][r] = 1
+        out = self._emit(
+            {}, [c.val, None, None, None, None], copies=[(0, c)], qbool=True
+        )
         return out[0]
 
     def select(self, bit: Cell, a: Cell, b: Cell) -> Cell:
@@ -287,17 +332,21 @@ class Builder:
 
     # -- range machinery ---------------------------------------------------
 
+    def _lk_slot(self, v: int) -> Cell:
+        """Place a value in the next lookup-advice slot (range-checked to
+        lookup_bits by the column's lookup argument)."""
+        assert 0 <= int(v) < (1 << self.lookup_bits)
+        j = self._lkslot % self.n_lookup
+        r = self.row0 + self._lkslot // self.n_lookup
+        assert r < self.n - 8, "lookup region overflow"
+        self.adv[self.lk[j].index][r] = int(v)
+        self.fixed[self.q_lk[j].index][r] = 1
+        self._lkslot += 1
+        return Cell(self.lk[j], r, int(v))
+
     def range_row(self, vals: list[int]) -> list[Cell]:
-        """Up to 4 range-checked witnesses on one row (slots w0,w1,w3,w4)."""
-        assert len(vals) <= len(_RANGE_SLOTS)
-        slots = [None] * self.W
-        cells_idx = []
-        for v, s in zip(vals, _RANGE_SLOTS):
-            assert 0 <= int(v) < (1 << self.lookup_bits)
-            slots[s] = int(v)
-            cells_idx.append(s)
-        out = self._emit({}, slots, ranges=cells_idx[: len(vals)])
-        return [out[s] for s in cells_idx]
+        """Range-checked witnesses (lookup-advice slots)."""
+        return [self._lk_slot(v) for v in vals]
 
     def range_check(self, c: Cell, bits: int) -> None:
         """Constrain c < 2^bits via lookup_bits-chunk decomposition."""
@@ -307,15 +356,11 @@ class Builder:
         assert v < (1 << bits), f"range_check witness {v} >= 2^{bits}"
         chunks = [(v >> (b * i)) & ((1 << b) - 1) for i in range(n_chunks)]
         top_bits = bits - b * (n_chunks - 1)
-        chunk_cells: list[Cell] = []
-        pend = list(chunks)
-        while pend:
-            batch, pend = pend[:4], pend[4:]
-            chunk_cells += self.range_row(batch)
+        chunk_cells = [self._lk_slot(ch) for ch in chunks]
         if top_bits < b:
             # shifted top chunk must also be < 2^b  =>  top < 2^top_bits
             shifted = chunks[-1] << (b - top_bits)
-            (sc,) = self.range_row([shifted])
+            sc = self._lk_slot(shifted)
             self.assert_lin_zero(
                 [(1 << (b - top_bits), chunk_cells[-1]), (-1, sc)]
             )
@@ -325,6 +370,14 @@ class Builder:
         )
 
     def witness_ranged(self, v: int, bits: int) -> Cell:
+        if bits <= self.lookup_bits:
+            c = self._lk_slot(int(v))
+            if bits < self.lookup_bits:
+                sc = self._lk_slot(int(v) << (self.lookup_bits - bits))
+                self.assert_lin_zero(
+                    [(1 << (self.lookup_bits - bits), c), (-1, sc)]
+                )
+            return c
         c = self.witness(v)
         self.range_check(c, bits)
         return c

@@ -321,6 +321,51 @@ class EccChip:
         nn_s.assert_equal(d_nn, nn_s.add(u, nn_s.load_constant(off)))
         return digit_bits
 
+    def _signed_digits_short(self, v2: int, n_digits: int):
+        """Witness signed odd base-16 digits of a SMALL ODD positive
+        integer v2 < 2^(4*n_digits - 1) (a GLV half + parity bump).
+        Returns (digit_bits, limb_cells, limb_offsets): limb_cells[j] is
+        an exact in-Fr linear form of up to 22 digits' bits shifted by
+        limb_offsets[j] so the cell value stays non-negative —
+        limb_value[j] = sum_i d_(22j+i) 16^i + limb_offsets[j]."""
+        b = self.b
+        w = self.WINDOW
+        assert v2 % 2 == 1 and v2 < (1 << (w * n_digits - 1))
+        digits = []
+        x = v2
+        for _ in range(n_digits - 1):
+            d = x % (1 << w)
+            if (((x - d) >> w) % 2) == 0:
+                d -= 1 << w
+            assert d % 2 == 1 and -15 <= d <= 15
+            digits.append(d)
+            x = (x - d) >> w
+        assert x % 2 == 1 and 1 <= x <= 15
+        digits.append(x)
+        digit_bits = [
+            [b.assert_bit(b.witness(((d + 15) // 2 >> j) & 1)) for j in range(w)]
+            for d in digits
+        ]
+        per = NN_LIMB_BITS // w  # 22 digits per 88-bit limb
+        limb_cells, limb_offsets = [], []
+        for k in range((n_digits + per - 1) // per):
+            terms = []
+            cnt = 0
+            for i in range(per):
+                di = k * per + i
+                if di >= n_digits:
+                    break
+                cnt += 1
+                for j in range(w):
+                    terms.append(((2 << j) * (1 << (w * i)), digit_bits[di][j]))
+            # digit d_i = 2e_i - 15 and the lin terms encode 2e_i*16^i, so
+            # the cell value is sum_i d_i 16^i + (16^cnt - 1) already —
+            # offset implicit, no constant addend
+            off = (1 << (w * cnt)) - 1
+            limb_cells.append(b.lin(terms))
+            limb_offsets.append(off)
+        return digit_bits, limb_cells, limb_offsets
+
     def msm_wide(
         self, scalars: list[NnInt], points: list[EcPointNN],
         nn_scalar: NonNativeChip,

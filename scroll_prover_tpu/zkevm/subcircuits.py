@@ -816,14 +816,29 @@ class SigSubCircuit:
             self._builder_rows = b.rows_used()
         return r - row0
 
-    # builder-row budget per verified signature (measured ~295k; the
-    # estimate only sizes min_k — assign asserts on real overflow)
-    ROWS_PER_VERIFY = 340_000
+    # builder budget per verified signature (measured round 4: ~152k arith
+    # ops + ~158k range chunks with GLV; the estimate only sizes min_k —
+    # assign asserts on real overflow). Rows depend on the builder shape:
+    # arith ops deal round-robin over SPT_BUILDER_LANES and range chunks
+    # over the lookup-advice columns.
+    OPS_PER_VERIFY = 170_000
+    CHUNKS_PER_VERIFY = 175_000
+
+    @classmethod
+    def rows_per_verify(cls) -> int:
+        import os
+
+        lanes = max(int(os.environ.get("SPT_BUILDER_LANES", "1")), 1)
+        cols = int(os.environ.get("SPT_BUILDER_LOOKUP_COLS", str(4 * lanes)))
+        cols = max(min(cols, 64), 1)
+        return max(
+            -(-cls.OPS_PER_VERIFY // lanes), -(-cls.CHUNKS_PER_VERIFY // cols)
+        )
 
     def rows_for(self, wb: WitnessBlock, cap: int) -> tuple[int, int]:
         events = wb.sig_events()
         n_ver = min(len(events), cap)
-        return len(events), n_ver * self.ROWS_PER_VERIFY
+        return len(events), n_ver * self.rows_per_verify()
 
 
 class EccSubCircuit:

@@ -137,7 +137,12 @@ class ScrollSuperCircuit(Circuit):
             1200 + mpt_pos_rows,  # poseidon sponge region + mpt permutations
         )
         k = max((rows + 16).bit_length(), 8)
-        return k
+        # SPT_INNER_K pins the inner domain to the production degree
+        # (INNER_DEGREE=20, reference README.md:21 / mock.rs:9) instead of
+        # the test-shrink minimum; min_k still wins if the witness
+        # genuinely needs more rows.
+        forced = int(os.environ.get("SPT_INNER_K", "0"))
+        return max(k, forced) if forced else k
 
     # -- circuit interface -------------------------------------------------
     def configure(self, cs: ConstraintSystem):

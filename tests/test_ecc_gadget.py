@@ -144,7 +144,7 @@ def test_tampered_add_rejected():
     mp = MockProver.run(13, circ, [[]])
     assert mp.verify() == []
     sx0 = G1.add(G, P2)[0] & ((1 << 88) - 1)
-    col = mp.advice[circ.b.w[0].index]
+    col = mp.advice[circ.b.w[0][0].index]
     hit = False
     for r in range(mp.n):
         if col[r] == sx0:

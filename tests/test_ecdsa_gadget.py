@@ -47,7 +47,8 @@ def test_gadget_builds_and_matches_host():
     z, r, s, q = _sig()
     assert secp.ecdsa_verify(z, r, s, q)
     rows = _counting_run(z, r, s, q)
-    assert rows > 100_000  # real ECDSA scale
+    lanes = max(int(os.environ.get("SPT_BUILDER_LANES", "1")), 1)
+    assert rows * lanes > 100_000  # real ECDSA scale (ops, lane-normalized)
 
 
 def test_fixture_signature_builds():
@@ -85,8 +86,9 @@ def test_sig_subcircuit_cap_path_builds():
     sc = SigSubCircuit().configure(cs, cap=1)
     rows = sc.assign(cs, _SinkCols(), _SinkCols(), 1 << 30, wb, 0)
     assert rows == len(wb.sig_events()) > 0
-    assert sc._builder_rows > 100_000  # the in-circuit ECDSA ran
-    assert sc._builder_rows < SigSubCircuit.ROWS_PER_VERIFY  # min_k budget holds
+    lanes = max(int(os.environ.get("SPT_BUILDER_LANES", "1")), 1)
+    assert sc._builder_rows * lanes > 100_000  # the in-circuit ECDSA ran
+    assert sc._builder_rows < SigSubCircuit.rows_per_verify()  # min_k budget holds
 
 
 class _Harness(Circuit):
@@ -117,6 +119,6 @@ def test_ecdsa_mock_prove_full():
     failures = mp.verify()
     assert failures == [], [str(f) for f in failures[:5]]
     # flip one advice bit -> some constraint must break
-    col = circ.b.w[0].index
+    col = circ.b.w[0][0].index
     mp.advice[col][5] = (int(mp.advice[col][5]) + 1) % secp.N
     assert mp.verify(), "tampered ECDSA witness must be rejected"

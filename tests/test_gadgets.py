@@ -89,9 +89,9 @@ def test_bad_bit_rejected():
     def tamper(b, adv):
         # boolean-constrain the first witness cell post-hoc via qbool row
         r = b.row
-        b.fixed[b.qbool.index][r] = 1
-        adv[b.w[0].index][r] = 2
-        b.row += 1
+        b.fixed[b.qbool[0].index][r] = 1
+        adv[b.w[0][0].index][r] = 2
+        b._op += b.lanes
 
     _check(prog, tamper, expect_ok=False)
 
@@ -119,8 +119,10 @@ def test_range_check_violation():
 
     # a chunk value >= 2^lookup_bits must be caught by the lookup
     def prog2(b, h):
-        slots = [1 << LOOKUP_BITS, None, None, None, None]
-        b._emit({}, slots, ranges=[0])
+        r = b.row0 + b._lkslot // b.n_lookup
+        b.adv[b.lk[b._lkslot % b.n_lookup].index][r] = 1 << LOOKUP_BITS
+        b.fixed[b.q_lk[b._lkslot % b.n_lookup].index][r] = 1
+        b._lkslot += 1
 
     _check(prog2, expect_ok=False)
 
@@ -134,10 +136,16 @@ def test_tampered_mul_rejected():
     circ = _Harness(prog)
     mp = MockProver.run(K, circ, [[]])
     assert mp.verify() == []
-    # flip the product output cell (mul output lives in w4 of its row)
-    col = mp.advice[circ.b.w[4].index]
-    for r in range(mp.n):
-        if col[r] == 15:
-            col[r] = 16
+    # flip the product output cell (mul output lives in w4 of its row, on
+    # whichever lane the round-robin dealt the op to)
+    done = False
+    for lane in range(circ.b.lanes):
+        col = mp.advice[circ.b.w[lane][4].index]
+        for r in range(mp.n):
+            if col[r] == 15:
+                col[r] = 16
+                done = True
+                break
+        if done:
             break
-    assert mp.verify(), "tampered product must fail a gate"
+    assert done and mp.verify(), "tampered product must fail a gate"

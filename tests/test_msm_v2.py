@@ -128,3 +128,46 @@ def test_msm_v2_batch_interpret(rng):
     for gi, ci in zip(got, cols_int):
         want = host_msm_jac(pts[: len(ci)], ci)
         assert gi == want
+
+
+def test_verify_par_matches_verify():
+    """verify_par (vectorized, the production mock tier) agrees with the
+    row-loop verify on both a satisfied and a tampered circuit."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from scroll_prover_tpu.proof_system.plonk import Circuit, ConstraintSystem, MockProver
+    from scroll_prover_tpu.proof_system.plonk.cs import empty_assignment
+
+    class C(Circuit):
+        def configure(self, cs):
+            self.a = cs.advice_column()
+            self.b = cs.advice_column()
+            self.c = cs.advice_column()
+            self.sel = cs.selector()
+            self.tbl = cs.fixed_column()
+            self.pi = cs.instance_column()
+            cs.gate("mul", self.sel.query() * (self.a.query() * self.b.query() - self.c.query()))
+            cs.lookup("rng", [self.sel.query() * self.a.query()], [self.tbl.query()])
+
+        def assign(self, cs, n, instance):
+            fixed = empty_assignment(cs.num_fixed, n)
+            adv = empty_assignment(cs.num_advice, n)
+            for i in range(8):
+                a, b = (7 + i) % 16, i + 5
+                adv[self.a.index][i] = a
+                adv[self.b.index][i] = b
+                adv[self.c.index][i] = a * b % FR_MOD
+                fixed[self.sel.index][i] = 1
+            for i in range(16):
+                fixed[self.tbl.index][i] = i
+            cs.copy(self.pi, 0, self.a, 0)
+            return {"fixed": fixed, "advice": adv}
+
+    mp = MockProver.run(6, C(), [[7]])
+    assert mp.verify() == [] and mp.verify_par() == []
+    # tamper: break a product, a copy, and a lookup input
+    mp.advice[1][2] += 1
+    slow = {(f.kind, f.name, f.row) for f in mp.verify()}
+    fast = {(f.kind, f.name, f.row) for f in mp.verify_par()}
+    assert slow and slow == fast
