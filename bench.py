@@ -59,7 +59,7 @@ REPS = 6
 STAGE_TIMEOUT = {
     "probe": 300, "tiled": 420, "fast": 300, "scan": 240, "msm": 420,
     "msm20": 560, "quotient20": 560, "prove20": 580, "chunk20": 60,
-    "cpu": 420,
+    "ntt24": 560, "msm24": 560, "cpu": 420,
 }
 # the tunnel's dispatch latency is wildly variable (a no-op jit measured
 # 6 s and 111 s the same day) and the service restarts itself after worker
@@ -321,6 +321,58 @@ def stage_prove20() -> float:
     return dt
 
 
+def stage_ntt24() -> float:
+    """2^24 Fr NTT on the tile engine — the layer1/layer4 compression-
+    domain scale (reference layer configs use degrees 24/25/26;
+    VERDICT round-3 item 8: nothing above 2^22 had ever run)."""
+    import jax.numpy as jnp
+
+    from scroll_prover_tpu.fields.limbs import FR_LIMB
+    from scroll_prover_tpu.ops import field_ops as fo
+    from scroll_prover_tpu.ops.ntt_tile import TiledDomain
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(fo.rand_elements(FR_LIMB, rng, 1 << 24))
+    xm = fo.to_mont(FR_LIMB, x)
+    _force(xm)
+    dom = TiledDomain(24)
+    _force(dom.ntt(xm))
+    rtt = _rtt(xm)
+    t0 = time.perf_counter()
+    y = dom.ntt(xm)
+    _force(y)
+    return max((time.perf_counter() - t0) - rtt, 1e-9)
+
+
+def stage_msm24() -> float:
+    """2^24-point G1 MSM over a device-synthesized SRS — a layer4/6-sized
+    commit (2^24 points = 2.1 GB of affine limbs resident in HBM)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scroll_prover_tpu.fields.limbs import FR_LIMB
+    from scroll_prover_tpu.ops import field_ops as fo
+    from scroll_prover_tpu.ops.fixed_base import fixed_base_mul_dev
+    from scroll_prover_tpu.ops.msm_tile import msm_v2_host
+    from scroll_prover_tpu.ops import poly as poly_ops
+    from scroll_prover_tpu.curves.bn254_curve import g1_generator
+    from scroll_prover_tpu.fields.bn254 import FR_MOD
+    from scroll_prover_tpu.fields.limbs import ints_to_limbs
+
+    n = 1 << 24
+    rng = np.random.default_rng(2)
+    tau_m = jnp.asarray(ints_to_limbs([0x1234567 * (1 << 256) % FR_MOD])[0])
+    pow_m = poly_ops.powers_mont(FR_LIMB, tau_m, n)
+    points = fixed_base_mul_dev(g1_generator(), fo.from_mont(FR_LIMB, pow_m))
+    _force(points)
+    scalars = jnp.asarray(fo.rand_elements(FR_LIMB, rng, n))
+    _force(scalars)
+    msm_v2_host(points, scalars)  # compile + warm
+    t0 = time.perf_counter()
+    msm_v2_host(points, scalars)
+    return max(time.perf_counter() - t0, 1e-9)
+
+
 def stage_chunk20() -> float:
     """Real-fixture chunk proof at INNER_DEGREE=20 (VERDICT round-3 #1).
 
@@ -364,6 +416,8 @@ STAGES = {
     "msm20": stage_msm20,
     "quotient20": stage_quotient20,
     "prove20": stage_prove20,
+    "ntt24": stage_ntt24,
+    "msm24": stage_msm24,
     "chunk20": stage_chunk20,
     "cpu": stage_cpu,
 }
@@ -453,6 +507,13 @@ def main():
         if p_dt is not None:
             # full verified PLONK proof at the reference inner degree
             extra["plonk_prove_k20_wall_s"] = round(p_dt, 3)
+        n24 = _run_stage("ntt24")
+        if n24 is not None:
+            extra["ntt_2pow24_wall_s"] = round(n24, 4)
+        m24 = _run_stage("msm24")
+        if m24 is not None:
+            extra["msm_g1_2pow24_wall_s"] = round(m24, 3)
+            extra["msm_g1_2pow24_mpoints_s"] = round((1 << 24) / m24 / 1e6, 3)
         c_dt = _run_stage("chunk20")
         if c_dt is not None and c_dt > 0:
             # real-fixture (batch_3/chunk_10) inner proof at k=20,

@@ -358,3 +358,25 @@ def rand_elements(f: LimbField, rng: np.random.Generator, n: int) -> np.ndarray:
     from ..fields.limbs import ints_to_limbs
 
     return ints_to_limbs(out)
+
+
+# --- packed residency (round 4) ---------------------------------------------
+# Two 16-bit limbs per u32 word: halves the HBM footprint of every column
+# the prover keeps resident (at k=20 the real super circuit holds ~200
+# columns x 64 MB in unpacked form — over the 16 GB chip; packed residency
+# + transient unpacking at each use fits). Pure elementwise shifts/masks —
+# XLA fuses the unpack into the consuming kernel's first pass.
+
+
+@jax.jit
+def pack_limbs(a: jnp.ndarray) -> jnp.ndarray:
+    """(..., 2L) uint32 16-bit limbs -> (..., L) packed words."""
+    return a[..., 0::2] | (a[..., 1::2] << 16)
+
+
+@jax.jit
+def unpack_limbs(p: jnp.ndarray) -> jnp.ndarray:
+    """(..., L) packed words -> (..., 2L) uint32 16-bit limbs."""
+    lo = p & jnp.uint32(0xFFFF)
+    hi = p >> 16
+    return jnp.stack([lo, hi], axis=-1).reshape(p.shape[:-1] + (2 * p.shape[-1],))

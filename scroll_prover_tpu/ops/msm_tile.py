@@ -693,24 +693,34 @@ def _lane_reduce_v2(tbl, interpret: bool = False):
 _R_INV = None
 
 
-def _host_fold_mont(tbl: np.ndarray, c: int):
-    """(W, B, 3, L) uint32 Montgomery projective bucket table -> affine
-    int point or None. Branch-free complete projective adds (RCB15 alg 7,
-    a=0) on Python ints; the only modular inversion is the final affine
-    conversion."""
+def _decode_mont_table(tbl: np.ndarray) -> list:
+    """Flatten a (..., L) uint32 Montgomery table to standard-form ints."""
     from ..fields.bn254 import FQ_MOD as P
 
     global _R_INV
     if _R_INV is None:
         _R_INV = pow(1 << 256, -1, P)
-    W, B = tbl.shape[0], tbl.shape[1]
-    flat = np.ascontiguousarray(tbl.reshape(W * B * 3, N_LIMBS)).astype(np.uint16)
+    m = tbl.size // N_LIMBS
+    flat = np.ascontiguousarray(tbl.reshape(m, N_LIMBS)).astype(np.uint16)
     buf = flat.astype("<u2").tobytes()
     rinv = _R_INV
-    vals = [
+    return [
         int.from_bytes(buf[32 * i : 32 * (i + 1)], "little") * rinv % P
-        for i in range(W * B * 3)
+        for i in range(m)
     ]
+
+
+def _host_fold_mont(tbl: np.ndarray, c: int):
+    """(W, B, 3, L) uint32 Montgomery projective bucket table -> affine
+    int point or None. Branch-free complete projective adds (RCB15 alg 7,
+    a=0) on Python ints; the only modular inversion is the final affine
+    conversion. A leading shard axis (D, W, B, 3, L) is folded bucket-wise
+    first (the multi-chip combine, parallel/msm_sharded.py)."""
+    from ..fields.bn254 import FQ_MOD as P
+
+    D = tbl.shape[0] if tbl.ndim == 5 else 1
+    W, B = tbl.shape[-4], tbl.shape[-3]
+    vals = _decode_mont_table(tbl)
 
     def proj_add(a, b):
         X1, Y1, Z1 = a
@@ -742,12 +752,12 @@ def _host_fold_mont(tbl: np.ndarray, c: int):
                 total = proj_dbl(total)
         run = IDENT
         acc = IDENT
-        base = w * B
         for b in range(B - 1, 0, -1):
-            i = (base + b) * 3
-            pt = (vals[i], vals[i + 1], vals[i + 2])
-            if pt[2] != 0:
-                run = proj_add(run, pt) if run != IDENT else pt
+            for d in range(D):
+                i = ((d * W + w) * B + b) * 3
+                pt = (vals[i], vals[i + 1], vals[i + 2])
+                if pt[2] != 0:
+                    run = proj_add(run, pt) if run != IDENT else pt
             if run != IDENT:
                 acc = proj_add(acc, run) if acc != IDENT else run
         if acc != IDENT:
@@ -775,6 +785,12 @@ def _pad_points_scalars(points, scalars_list):
             sl = jnp.concatenate([sl, jnp.zeros((pad, N_LIMBS), jnp.uint32)])
         out.append(sl)
     return points, out
+
+
+def _host_fold_mont_shards(tbls: np.ndarray, c: int):
+    """(D, W, B, 3, L) per-shard Montgomery bucket tables -> one affine
+    point (bucket-wise shard sum folded into the standard window fold)."""
+    return _host_fold_mont(tbls, c)
 
 
 def msm_v2_host_batch(points_affine_mont, scalar_limbs_list, c: int | None = None,

@@ -299,13 +299,44 @@ def _to_standard_limbs(coeffs_mont):
 # once the one-time kernel compile is paid
 DEVICE_MSM_THRESHOLD = int(os.environ.get("SPT_DEVICE_MSM_THRESHOLD", "65536"))
 
+# mesh-sharded commit routing (multi-chip prove path): when set, every
+# device-scale commit fans its points across the mesh and reduces the
+# per-shard bucket tables — bit-identical results at any mesh width (EC
+# addition is exact), asserted by __graft_entry__.dryrun_multichip
+_COMMIT_MESH = None
+
+
+def set_commit_mesh(mesh) -> None:
+    global _COMMIT_MESH
+    _COMMIT_MESH = mesh
+
+
+def _threshold() -> int:
+    return int(os.environ.get("SPT_DEVICE_MSM_THRESHOLD", str(DEVICE_MSM_THRESHOLD)))
+
+
+def _commit_sharded(srs: SRS, coeffs_mont, basis: str):
+    import jax as _jax
+
+    from ..ops import ec as _ec
+    from ..parallel.msm_sharded import msm_sharded, msm_tile_sharded
+
+    n = coeffs_mont.shape[0]
+    base = srs.dev_powers() if basis == "monomial" else srs.dev_lagrange()
+    scalars = _to_standard_limbs(coeffs_mont)
+    if _jax.default_backend() == "tpu":
+        return msm_tile_sharded(_COMMIT_MESH, base[:n], scalars)
+    return ec.decode_point(msm_sharded(_COMMIT_MESH, base[:n], scalars))
+
 
 def kzg_commit(srs: SRS, coeffs_mont, basis: str = "monomial"):
     """Commit to (n, L) Montgomery coefficients (or Lagrange evals). Returns
     host affine point (or None)."""
     n = coeffs_mont.shape[0]
     assert n <= srs.n
-    if n < DEVICE_MSM_THRESHOLD:
+    if _COMMIT_MESH is not None and n >= _threshold():
+        return _commit_sharded(srs, coeffs_mont, basis)
+    if n < _threshold():
         from ..fields.limbs import limbs_to_ints
 
         host_pts = srs.g1_powers if basis == "monomial" else srs.g1_lagrange
@@ -334,9 +365,11 @@ def kzg_commit_batch(srs: SRS, coeffs_list, basis: str = "monomial"):
     if not coeffs_list:
         return []
     n_max = max(c.shape[0] for c in coeffs_list)
+    if _COMMIT_MESH is not None and n_max >= _threshold():
+        return [kzg_commit(srs, c, basis) for c in coeffs_list]
     impl = os.environ.get("SPT_MSM_IMPL", "auto")
     use_batch = (
-        n_max >= DEVICE_MSM_THRESHOLD
+        n_max >= _threshold()
         and impl != "scatter"
         and (impl != "auto" or jax.default_backend() != "cpu")
     )

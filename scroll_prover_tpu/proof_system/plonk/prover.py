@@ -60,6 +60,25 @@ def _bcast(s: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.broadcast_to(s[None, :], (n, s.shape[-1]))
 
 
+_PACK = os.environ.get("SPT_PACK_RESIDENT") == "1"
+
+
+def _P(x):
+    """Pack a resident (n, 2L) limb column to (n, L) words (no-op unless
+    SPT_PACK_RESIDENT=1; idempotent by shape). Halves HBM residency — the
+    real super circuit holds ~200 columns x 64 MB at k=20."""
+    from ...fields.limbs import N_LIMBS as _NL
+
+    return fo.pack_limbs(x) if _PACK and x.shape[-1] == _NL else x
+
+
+def _U(x):
+    """Transiently unpack a packed column at its point of use."""
+    from ...fields.limbs import N_LIMBS as _NL
+
+    return fo.unpack_limbs(x) if x.shape[-1] == _NL // 2 else x
+
+
 def _decode_mont(arr, count: int | None = None) -> list[int]:
     """(n, L) Montgomery device array -> host ints (standard form)."""
     std = fo.from_mont(F, arr if count is None else arr[:count])
@@ -138,15 +157,15 @@ def _intt_cols(dom, cols) -> list:
     per-column wall-clock at production sizes)."""
     cols = list(cols)
     if len(cols) <= 1:
-        return [dom.intt(c) for c in cols]
+        return [_P(dom.intt(_U(c))) for c in cols]
     out: list = []
     g = _ntt_group(dom.n)
     for i in range(0, len(cols), g):
-        grp = cols[i : i + g]
+        grp = [_U(c) for c in cols[i : i + g]]
         if len(grp) == 1:
-            out.append(dom.intt(grp[0]))
+            out.append(_P(dom.intt(grp[0])))
         else:
-            out.extend(dom.intt_batch(jnp.stack(grp)))
+            out.extend(_P(e) for e in dom.intt_batch(jnp.stack(grp)))
     return out
 
 
@@ -220,9 +239,15 @@ def prove(
     absorb_instances(tr, vk, instance)
 
     # --- device value tables (base domain, Montgomery form) ---------------
-    advice_dev = [_encode_mont(col) for col in advice_vals]
+    advice_dev = [_P(_encode_mont(col)) for col in advice_vals]
     fixed_dev = _fixed_dev(pk, n)
-    inst_dev = [_encode_mont([int(v) for v in inst[i]]) for i in range(cs.num_instance)]
+    inst_dev = [_P(_encode_mont([int(v) for v in inst[i]])) for i in range(cs.num_instance)]
+    if _PACK:
+        # pack the keygen outputs resident for this prove (idempotent)
+        pk.fixed_polys = [_P(x) for x in pk.fixed_polys]
+        pk.sigma_polys = [_P(x) for x in pk.sigma_polys]
+        pk.l0 = _P(pk.l0)
+        pk.l_last = _P(pk.l_last)
     vals_dev = {"advice": advice_dev, "fixed": fixed_dev, "instance": inst_dev}
     ones_n = fo.one_mont(F, (n,))
 
@@ -231,7 +256,7 @@ def prove(
         theta_b = _bcast(_mont_scalar(theta), n)
 
         def q(kind, col, rot):
-            arr = vals_dev[kind][col]
+            arr = _U(vals_dev[kind][col])
             return jnp.roll(arr, -rot, axis=0) if rot else arr
 
         return expr.evaluate(
@@ -243,9 +268,19 @@ def prove(
             neg=lambda a: fo.neg_mod(F, a),
         )
 
+    def _commit_cols(polys):
+        """Commit packed columns in groups of <= 8, unpacking transiently
+        (the batch MSM cap is 8 columns anyway)."""
+        out = []
+        for i in range(0, len(polys), 8):
+            out.extend(
+                kzg_commit_batch(srs, [_U(p) for p in polys[i : i + 8]])
+            )
+        return out
+
     # --- phase 1: advice commitments -------------------------------------
     advice_polys = _intt_cols(dom, advice_dev)
-    for c in kzg_commit_batch(srs, advice_polys):
+    for c in _commit_cols(advice_polys):
         tr.write_point(c)
 
     _mark("advice committed")
@@ -266,10 +301,10 @@ def prove(
                 )
             return acc
 
-        a_dev = compress_dev(lk.inputs)
-        s_dev = compress_dev(lk.tables)
-        a_vals = _decode_mont(a_dev, usable) + [0] * (n - usable)
-        s_vals = _decode_mont(s_dev, usable) + [0] * (n - usable)
+        a_dev = _P(compress_dev(lk.inputs))
+        s_dev = _P(compress_dev(lk.tables))
+        a_vals = _decode_mont(_U(a_dev), usable) + [0] * (n - usable)
+        s_vals = _decode_mont(_U(s_dev), usable) + [0] * (n - usable)
         # the grand product (and hence multiset equality) covers rows 0..u-1
         a_perm, s_perm = _permute_lookup(a_vals[:u], s_vals[:u])
         a_perm = a_perm + _blind(seed, f"lkA{len(lookups)}", n - u)
@@ -279,15 +314,15 @@ def prove(
              "a_dev": a_dev, "s_dev": s_dev}
         )
     for lk in lookups:
-        lk["a_perm_dev"] = _encode_mont(lk["a_perm"])
-        lk["s_perm_dev"] = _encode_mont(lk["s_perm"])
+        lk["a_perm_dev"] = _P(_encode_mont(lk["a_perm"]))
+        lk["s_perm_dev"] = _P(_encode_mont(lk["s_perm"]))
     lk_polys = _intt_cols(
         dom, [d for lk in lookups for d in (lk["a_perm_dev"], lk["s_perm_dev"])]
     )
     for i, lk in enumerate(lookups):
         lk["a_poly"] = lk_polys[2 * i]
         lk["s_poly"] = lk_polys[2 * i + 1]
-    for c in kzg_commit_batch(srs, lk_polys):
+    for c in _commit_cols(lk_polys):
         tr.write_point(c)
 
     _mark("lookups committed")
@@ -329,7 +364,7 @@ def prove(
         den = ones_n
         for jj in chunk:
             cref = cs.perm_columns[jj]
-            v = vals_dev[cref.kind][cref.index]
+            v = _U(vals_dev[cref.kind][cref.index])
             dj = _bcast(_mont_scalar(beta * pow(DELTA, jj, FR_MOD) % FR_MOD), n)
             num = fo.mont_mul(
                 F, num,
@@ -338,7 +373,9 @@ def prove(
             den = fo.mont_mul(
                 F, den,
                 fo.add_mod(
-                    F, fo.add_mod(F, v, fo.mont_mul(F, beta_b, sigma_dev[jj])), gamma_b
+                    F,
+                    fo.add_mod(F, v, fo.mont_mul(F, beta_b, _U(sigma_dev[jj]))),
+                    gamma_b,
                 ),
             )
         z, last_z = grand_product(num, den, last_z)
@@ -348,12 +385,14 @@ def prove(
     one_sc = fo.one_mont(F)
     for li, lk in enumerate(lookups):
         num = fo.mont_mul(
-            F, fo.add_mod(F, lk["a_dev"], beta_b), fo.add_mod(F, lk["s_dev"], gamma_b)
+            F,
+            fo.add_mod(F, _U(lk["a_dev"]), beta_b),
+            fo.add_mod(F, _U(lk["s_dev"]), gamma_b),
         )
         den = fo.mont_mul(
             F,
-            fo.add_mod(F, lk["a_perm_dev"], beta_b),
-            fo.add_mod(F, lk["s_perm_dev"], gamma_b),
+            fo.add_mod(F, _U(lk["a_perm_dev"]), beta_b),
+            fo.add_mod(F, _U(lk["s_perm_dev"]), gamma_b),
         )
         z, _ = grand_product(num, den, one_sc)
         lookup_z_devs.append(with_blinding(z, f"lkz{li}"))
@@ -366,8 +405,8 @@ def prove(
     perm_z_polys = _intt_cols(dom, perm_z_devs)
     lookup_z_polys = _intt_cols(dom, lookup_z_devs)
     random_poly = dom.intt(_encode_mont(_blind(seed, "rand", n)))
-    phase3_commits = kzg_commit_batch(
-        srs, perm_z_polys + lookup_z_polys + [random_poly]
+    phase3_commits = _commit_cols(
+        perm_z_polys + lookup_z_polys + [random_poly]
     )
     for c in phase3_commits:
         tr.write_point(c)
@@ -392,7 +431,7 @@ def prove(
         chunks, theta, beta, gamma, y, u, _debug=_debug,
     )
     _mark("quotient built")
-    for c in kzg_commit_batch(srs, h_chunk_polys):
+    for c in _commit_cols(h_chunk_polys):
         tr.write_point(c)
     _mark("quotient committed")
 
@@ -436,12 +475,12 @@ def prove(
     # h_combined: linear combo of chunks with x^{n a}; opened at x (value not
     # written — the verifier recomputes it from the constraint system)
     xn = pow(x, n, FR_MOD)
-    h_comb = h_chunk_polys[0]
+    h_comb = _U(h_chunk_polys[0])
     wpow = 1
     for a in range(1, len(h_chunk_polys)):
         wpow = wpow * xn % FR_MOD
         h_comb = poly_ops.axpy_mont(
-            F, _mont_scalar(wpow), h_chunk_polys[a], h_comb
+            F, _mont_scalar(wpow), _U(h_chunk_polys[a]), h_comb
         )
     emit(h_comb, x, write=False)
 
@@ -452,7 +491,7 @@ def prove(
         if pt not in pw_tables:
             pw_tables[pt] = _coset_x_outer(1, 1, n, dom.k, base=pt)
     ev_dev = [
-        poly_ops.eval_poly_with_powers(F, p, pw_tables[pt])
+        poly_ops.eval_poly_with_powers(F, _U(p), pw_tables[pt])
         for p, pt, _ in plan5
     ]
     ev_vals = F.decode(np.asarray(jnp.stack(ev_dev)))
@@ -479,6 +518,7 @@ def prove(
         from .multiopen import query_labels, shplonk_open
 
         labels = query_labels(qs, m, len(chunks), len(lookups))
+        queries = [(_U(p), pt, val) for (p, pt, val) in queries]
         shplonk_open(
             srs, queries, labels, v_ch, tr, kzg_commit, _mont_scalar,
             _encode_mont,
@@ -493,7 +533,7 @@ def prove(
             points_order.append(point)
     wit_polys = []
     for point in points_order:
-        group = [(p, val) for (p, pt, val) in queries if pt == point]
+        group = [(_U(p), val) for (p, pt, val) in queries if pt == point]
         comb = _combine(group, v_ch)
         wit_polys.append(poly_ops.kzg_quotient_mont(F, comb, _mont_scalar(point)))
     for c in kzg_commit_batch(srs, wit_polys):
@@ -509,7 +549,7 @@ def prove(
 def _fixed_dev(pk: ProvingKey, n: int):
     cache = getattr(pk, "_fixed_dev", None)
     if cache is None:
-        cache = [_encode_mont([int(v) for v in col]) for col in pk.fixed_values]
+        cache = [_P(_encode_mont([int(v) for v in col])) for col in pk.fixed_values]
         pk._fixed_dev = cache
     return cache
 
@@ -517,7 +557,7 @@ def _fixed_dev(pk: ProvingKey, n: int):
 def _sigma_dev(pk: ProvingKey, n: int):
     cache = getattr(pk, "_sigma_dev", None)
     if cache is None:
-        cache = [_encode_mont(col) for col in pk.sigma_values]
+        cache = [_P(_encode_mont(col)) for col in pk.sigma_values]
         pk._sigma_dev = cache
     return cache
 
@@ -698,7 +738,7 @@ def _build_quotient(
         and _debug is None
     )
     lact_vals = [1] * u + [0] * (n - u)
-    lact_poly = dom.intt(_encode_mont(lact_vals))
+    lact_poly = _P(dom.intt(_encode_mont(lact_vals)))
     by_kind = {"advice": advice_polys, "fixed": fixed_polys,
                "instance": instance_polys}
     zpolys = {}
@@ -756,6 +796,7 @@ def _quotient_full(
     def ext(polyc, tag):
         if tag in cache:
             return cache[tag]
+        polyc = _U(polyc)
         pad = jnp.zeros((ext_n - polyc.shape[0], polyc.shape[1]), jnp.uint32)
         e = dom.ntt_extended(jnp.concatenate([polyc, pad]))
         cache[tag] = e
@@ -774,7 +815,12 @@ def _quotient_full(
             stacked = jnp.stack(
                 [
                     jnp.concatenate(
-                        [p, jnp.zeros((ext_n - p.shape[0], p.shape[1]), jnp.uint32)]
+                        [
+                            _U(p),
+                            jnp.zeros(
+                                (ext_n - p.shape[0], _U(p).shape[1]), jnp.uint32
+                            ),
+                        ]
                     )
                     for _, p in grp
                 ]
@@ -870,20 +916,20 @@ def _quotient_cosets(
             grp = plan[i : i + g]
             if len(grp) == 1:
                 t_, p_ = grp[0]
-                cache[t_] = dom.ntt(fo.mont_mul_big(F, p_, scale))
+                cache[t_] = _P(dom.ntt(fo.mont_mul_big(F, _U(p_), scale)))
             else:
-                stacked = jnp.stack([p_ for _, p_ in grp])
+                stacked = jnp.stack([_U(p_) for _, p_ in grp])
                 scaled = fo.mont_mul_big(
                     F, stacked, jnp.broadcast_to(scale, stacked.shape)
                 )
                 for (t_, _), e_ in zip(grp, dom.ntt_batch(scaled)):
-                    cache[t_] = e_
+                    cache[t_] = _P(e_)
 
         def col(polyc, tag):
             if tag in cache:
-                return cache[tag]
-            e = dom.ntt(fo.mont_mul_big(F, polyc, scale))
-            cache[tag] = e
+                return _U(cache[tag])
+            e = dom.ntt(fo.mont_mul_big(F, _U(polyc), scale))
+            cache[tag] = _P(e)
             return e
 
         def q(kind, c_, rot):

@@ -53,6 +53,9 @@ class AggregationCircuit(Circuit):
         inners_have_acc: bool = True,
         links: list[tuple[int, int, int, int]] | None = None,
         expose: list[tuple[int, int]] | None = None,
+        blob_bytes: bytes | None = None,
+        blob_zy: tuple[int, int, int, int] = (2, 3, 4, 5),
+        blob_width: int = 4096,
     ):
         """inners: [(vk, proof, instances)] per aggregated SNARK;
         context: public values bound by the digest and exposed after it;
@@ -60,7 +63,15 @@ class AggregationCircuit(Circuit):
         enforced with copy constraints (chunk chaining);
         expose: [(item, off)] inner instance cells copied into THIS
         circuit's instance after the context (statement pass-through:
-        state roots, data hashes — the verifier reads them from the PI)."""
+        state roots, data hashes — the verifier reads them from the PI);
+        blob_bytes: when given (layer3/BatchCircuit use), the 4096-coeff
+        blob polynomial is evaluated IN-CIRCUIT at the context's (z, y)
+        cells (gadgets/blob_eval.py barycentric form) and the
+        coefficients' Poseidon digest is exposed as one extra instance
+        cell right after the context — the verifier recomputes it from
+        the actual blob bytes (VERDICT round-3 item 5: in-circuit blob
+        consistency); blob_zy: context offsets of (z_hi, z_lo, y_hi,
+        y_lo); blob_width: domain size (tests shrink it)."""
         assert inners
         self.inners = [
             (vk, proof, [int(v) % FR_MOD for v in ins])
@@ -77,13 +88,17 @@ class AggregationCircuit(Circuit):
         for item, off in self.expose:
             assert 0 <= item < len(self.inners)
             assert 0 <= off < len(self.inners[item][2])
+        self.blob_bytes = blob_bytes
+        self.blob_zy = blob_zy
+        self.blob_width = blob_width
         self._min_k: int | None = None
         self._assign_cache: dict[int, dict] = {}
 
     # -- layout ------------------------------------------------------------
 
     def num_instance(self) -> int:
-        return ACC_CELLS + 1 + len(self.context) + len(self.expose)
+        blob = 1 if self.blob_bytes is not None else 0
+        return ACC_CELLS + 1 + len(self.context) + blob + len(self.expose)
 
     def configure(self, cs: ConstraintSystem):
         self.instance = cs.instance_column()
@@ -137,6 +152,27 @@ class AggregationCircuit(Circuit):
                     for limb in coord.limbs:
                         tr.common_scalar_cell(limb)
         mu = tr.squeeze()
+
+        # blob consistency (layer3): in-circuit barycentric evaluation at
+        # the context (z, y) + coefficient digest via a dedicated sponge
+        blob_digest = None
+        if self.blob_bytes is not None:
+            from ..aggregator.blob import blob_to_coefficients
+            from ..gadgets.blob_eval import BlobEvalGadget
+
+            coeffs = blob_to_coefficients(self.blob_bytes)[: self.blob_width]
+            zi0, zi1, yi0, yi1 = self.blob_zy
+            gadget = BlobEvalGadget(b, width=self.blob_width)
+            pairs = gadget.run(
+                coeffs, ctx_cells[zi0], ctx_cells[zi1],
+                ctx_cells[yi0], ctx_cells[yi1],
+            )
+            btr = InCircuitTranscript(b, self.pos, b"", row0=tr.rows_used())
+            for hi, lo in pairs:
+                btr.common_scalar_cell(hi)
+                btr.common_scalar_cell(lo)
+            blob_digest = btr.squeeze()
+            tr = btr  # rows accounting continues from the blob sponge
         self._sponge_rows = tr.rows_used()
 
         # fold: sum mu^i (lhs_i, rhs_i)
@@ -147,6 +183,8 @@ class AggregationCircuit(Circuit):
         lhs = ec.msm(scalars, [p for p, _ in pair_cells])
         rhs = ec.msm(scalars, [q for _, q in pair_cells])
         exp_cells = [all_inst_cells[i][off] for i, off in self.expose]
+        if blob_digest is not None:
+            ctx_cells = ctx_cells + [blob_digest]
         return b, lhs, rhs, digest, ctx_cells, exp_cells
 
     def min_k(self) -> int:
@@ -220,4 +258,23 @@ class AggregationCircuit(Circuit):
             rhs = G1.add(rhs, ri if i == 0 else G1.mul(ri, mp))
             mp = mp * mu % FR_MOD
         exposed = [self.inners[i][2][off] for i, off in self.expose]
-        return [[*acc_limbs(lhs, rhs), digest, *self.context, *exposed]]
+        blob = (
+            [self.host_blob_digest(self.blob_bytes, self.blob_width)]
+            if self.blob_bytes is not None
+            else []
+        )
+        return [[*acc_limbs(lhs, rhs), digest, *self.context, *blob, *exposed]]
+
+    @staticmethod
+    def host_blob_digest(blob_bytes: bytes, width: int = 4096) -> int:
+        """Host twin of the in-circuit blob-coefficient sponge: the value
+        the verifier recomputes from the ACTUAL blob bytes and compares to
+        the exposed instance cell (fail-closed byte binding)."""
+        from ..aggregator.blob import blob_to_coefficients
+
+        m = (1 << 128) - 1
+        tr = PoseidonTranscript(b"")
+        for cv in blob_to_coefficients(blob_bytes)[:width]:
+            tr.common_scalar(cv >> 128)
+            tr.common_scalar(cv & m)
+        return tr.squeeze_challenge()

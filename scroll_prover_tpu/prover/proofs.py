@@ -112,6 +112,8 @@ class BatchProofInner:
     layers: list[ProofPayload]  # [layer3, layer4]
     batch_hash: bytes
     batch_header: object = None
+    blob_bytes: bytes | None = None  # DA payload (verifier recomputes the
+    # in-circuit blob-coefficient digest from these bytes)
 
     @property
     def proof(self) -> bytes:
@@ -129,6 +131,9 @@ class BatchProofV2:
             "batch_header": self.inner.batch_header.to_json()
             if self.inner.batch_header is not None
             else None,
+            "blob_bytes": "0x" + self.inner.blob_bytes.hex()
+            if self.inner.blob_bytes is not None
+            else None,
         }
 
     @classmethod
@@ -141,6 +146,9 @@ class BatchProofV2:
                 batch_hash=bytes.fromhex(d["batch_hash"][2:]),
                 batch_header=BatchHeader.from_json(d["batch_header"])
                 if d.get("batch_header")
+                else None,
+                blob_bytes=bytes.fromhex(d["blob_bytes"][2:])
+                if d.get("blob_bytes")
                 else None,
             )
         )

@@ -307,10 +307,11 @@ _L4_DIGEST = ACC_CELLS
 _L4_BH = ACC_CELLS + 1
 _L4_Z = ACC_CELLS + 3
 _L4_Y = ACC_CELLS + 5
-_L4_CHAIN_ID = ACC_CELLS + 7
-_L4_FIRST_PREV = ACC_CELLS + 8
-_L4_LAST_POST = ACC_CELLS + 10
-_L4_DH0 = ACC_CELLS + 12
+_L4_BLOB = ACC_CELLS + 7      # in-circuit blob-coefficient digest cell
+_L4_CHAIN_ID = ACC_CELLS + 8
+_L4_FIRST_PREV = ACC_CELLS + 9
+_L4_LAST_POST = ACC_CELLS + 11
+_L4_DH0 = ACC_CELLS + 13
 
 
 def _chunk_chain_links(n: int) -> list[tuple[int, int, int, int]]:
@@ -425,11 +426,18 @@ class BatchProver:
         # layer2 SNARK, accumulators mu-folded, state-root chaining linked
         # in-circuit, statement cells exposed in the PI (reference
         # BatchCircuit semantics, SURVEY.md section 3.2)
+        # blob consistency (VERDICT round-3 item 5): the barycentric
+        # evaluation of the blob polynomial at the header's (z, y) is
+        # constrained IN-CIRCUIT and the coefficient digest exposed;
+        # SPT_BLOB_WIDTH shrinks the domain for test tiers only
+        blob_width = int(os.environ.get("SPT_BLOB_WIDTH", "4096"))
         layer3, vk3 = self._prove_circuit(
             AggregationCircuit(
                 inners, context, inners_have_acc=True,
                 links=_chunk_chain_links(n),
                 expose=_batch_expose(n),
+                blob_bytes=task.blob_bytes,
+                blob_width=blob_width,
             ),
             f"layer3_{'_'.join(hex(vk.transcript_repr())[:10] for vk, _, _ in inners)}",
         )
@@ -444,6 +452,7 @@ class BatchProver:
                 layers=[layer3, layer4],
                 batch_hash=header.batch_hash(),
                 batch_header=header,
+                blob_bytes=task.blob_bytes,
             )
         )
         if output_dir:
@@ -619,6 +628,19 @@ class BatchVerifier:
             ]
             if inst[_L4_BH:_L4_BH + 6] != want_ctx:
                 log.error("layer3 header binding mismatch")
+                return False
+            # blob byte binding: the in-circuit coefficient digest must be
+            # reproducible from the ACTUAL blob bytes (fail-closed — a
+            # proof without blob bytes does not verify)
+            if proof.inner.blob_bytes is None:
+                log.error("batch proof missing blob bytes")
+                return False
+            blob_width = int(os.environ.get("SPT_BLOB_WIDTH", "4096"))
+            from .aggregation_circuit import AggregationCircuit as _AC
+
+            want_blob = _AC.host_blob_digest(proof.inner.blob_bytes, blob_width)
+            if inst[_L4_BLOB] != want_blob:
+                log.error("blob coefficient digest mismatch")
                 return False
             # the exposed per-chunk data hashes must reproduce the header's
             # data_hash = keccak(dh_0 || ... || dh_{n-1}) — this ties the

@@ -20,7 +20,8 @@ Constraint depth by subcircuit in this round:
     shared root), headers bound to the rw table
   * sig       — REAL: recovered+verified (msg_hash, r, s, addr) table
     rows; in-circuit secp256k1 ECDSA verification of the first
-    SPT_SIG_CAP events (~295k rows each — k>=19 production domains)
+    SPT_SIG_CAP events (GLV + windowed tables: ~9.5k rows/sig at 16
+    gate lanes — a full mainnet chunk's signatures fit at k=20)
   * keccak-f  — REAL: fully-constrained lane-parallel keccak-f[1600]
     permutation rows for bytecode hashes (cap via SPT_KECCAK_CAP)
   * sha256    — REAL: constrained compression-function circuit
@@ -753,10 +754,13 @@ class SigSubCircuit:
     `cap` events are verified IN-CIRCUIT by the secp256k1 ECDSA gadget
     (gadgets/ecdsa.py); the verified (z, r, s) are copy-constrained to
     the table cells, so the committed rows ARE the verified statements.
-    One verification costs ~295k builder rows (k >= 19 domains) — the
-    reference sig circuit's cost scale — so the default capacity is 0
-    for test-size domains and production raises it with the degree
-    (reference zkevm-circuits sig_circuit, SURVEY.md section 2.2).
+    One verification costs ~151k builder ops + ~158k range chunks —
+    ~9.5k rows at 16 gate lanes (GLV endomorphism split + windowed
+    tables, gadgets/ecdsa.py) — so a mainnet chunk's ~100 signatures
+    fit a k=20 domain; the default capacity is 0 only to keep
+    test-size domains small, and the mock/prove tiers raise it to the
+    fixture demand (reference zkevm-circuits sig_circuit,
+    SURVEY.md section 2.2).
     The pubkey->address keccak binding is host-checked; constraining it
     in-circuit needs the keccak permutation circuit (designated
     deepening)."""

@@ -7,6 +7,8 @@ import os
 
 # Must be set before jax initializes a backend.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# shrink the in-circuit blob domain for CPU test tiers (production: 4096)
+os.environ.setdefault("SPT_BLOB_WIDTH", "64")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -130,3 +130,79 @@ def test_agg_mock_prove(srs, inners):
         inners, context=[7], inners_have_acc=False, links=[(0, 0, 1, 0)]
     )
     MockProver.run(circ.min_k(), circ, circ.instance_for()).assert_satisfied()
+
+
+def _blob_zy(blob_bytes: bytes, width: int = 64):
+    """Host (z, y) over the width-limited domain (test twin of the
+    gadget's cross-multiplied barycentric identity)."""
+    from scroll_prover_tpu.aggregator.blob import BLS_MODULUS, blob_to_coefficients
+    from scroll_prover_tpu.gadgets.blob_eval import _brp_domain
+
+    p = BLS_MODULUS
+    coeffs = blob_to_coefficients(blob_bytes)[:width]
+    dom = _brp_domain(width)
+    z = 0x1234567890ABCDEF1234567890ABCDEF1234567890ABCDEF123456789 % p
+    zn = pow(z, width, p)
+    total = sum(
+        c * w % p * pow((z - w) % p, -1, p) % p for c, w in zip(coeffs, dom)
+    ) % p
+    y = (zn - 1) * pow(width, -1, p) % p * total % p
+    return z, y
+
+
+def test_blob_eval_in_circuit(srs, inners):
+    """Layer3 blob consistency (VERDICT round-3 item 5): the barycentric
+    identity holds in-circuit at the context (z, y), the coefficient
+    digest is exposed, and tampering one blob byte changes the digest the
+    verifier recomputes from the real bytes."""
+    blob = bytes(range(256)) * 9  # enough bytes for 64 31-byte coeffs
+    z, y = _blob_zy(blob, width=64)
+    m = (1 << 128) - 1
+    ctx = [7, 8, z >> 128, z & m, y >> 128, y & m]
+    circ = AggregationCircuit(
+        inners, context=ctx, inners_have_acc=False,
+        blob_bytes=blob, blob_width=64,
+    )
+    inst = circ.instance_for()[0]
+    # exposed blob digest matches the host recomputation from the bytes
+    want_digest = AggregationCircuit.host_blob_digest(blob, width=64)
+    assert inst[ACC_CELLS + 1 + len(ctx)] == want_digest
+    # the circuit program builds (witness guards check every constraint)
+    cs = ConstraintSystem()
+    circ.configure(cs)
+    circ._run(cs, _SinkCols(), _SinkCols(), 1 << 30)
+    # a tampered byte changes the recomputed digest -> verifier rejects
+    bad = bytearray(blob)
+    bad[3] ^= 1
+    assert AggregationCircuit.host_blob_digest(bytes(bad), width=64) != want_digest
+
+
+def test_blob_eval_rejects_wrong_y(srs, inners):
+    blob = bytes(range(256)) * 9
+    z, y = _blob_zy(blob, width=64)
+    m = (1 << 128) - 1
+    ctx = [7, 8, z >> 128, z & m, (y + 1) >> 128, (y + 1) & m]
+    circ = AggregationCircuit(
+        inners, context=ctx, inners_have_acc=False,
+        blob_bytes=blob, blob_width=64,
+    )
+    cs = ConstraintSystem()
+    circ.configure(cs)
+    with pytest.raises(AssertionError):
+        circ._run(cs, _SinkCols(), _SinkCols(), 1 << 30)
+
+
+@pytest.mark.slow
+def test_blob_eval_mock_prove(srs, inners):
+    blob = bytes(range(256)) * 9
+    z, y = _blob_zy(blob, width=64)
+    m = (1 << 128) - 1
+    ctx = [7, 8, z >> 128, z & m, y >> 128, y & m]
+    circ = AggregationCircuit(
+        [inners[0]], context=ctx, inners_have_acc=False,
+        blob_bytes=blob, blob_width=64,
+    )
+    k = circ.min_k()
+    mp = MockProver.run(k, circ, circ.instance_for())
+    fails = mp.verify_par()
+    assert fails == [], [str(f) for f in fails[:5]]

@@ -171,3 +171,67 @@ def test_verify_par_matches_verify():
     slow = {(f.kind, f.name, f.row) for f in mp.verify()}
     fast = {(f.kind, f.name, f.row) for f in mp.verify_par()}
     assert slow and slow == fast
+
+
+def test_packed_residency_proof_bytes_identical():
+    """SPT_PACK_RESIDENT halves resident column HBM; proof bytes must be
+    bit-identical to the unpacked prover, on BOTH quotient drivers
+    (full-domain and coset-streaming)."""
+    import os
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from scroll_prover_tpu.proof_system import kzg
+    from scroll_prover_tpu.proof_system.plonk import Circuit
+    from scroll_prover_tpu.proof_system.plonk.cs import empty_assignment
+    from scroll_prover_tpu.proof_system.plonk.keygen import keygen
+    from scroll_prover_tpu.proof_system.plonk.prover import prove
+    from scroll_prover_tpu.proof_system.plonk.verifier import verify
+    import scroll_prover_tpu.proof_system.plonk.prover as PR
+
+    class C(Circuit):
+        def configure(self, cs):
+            self.a = cs.advice_column()
+            self.b = cs.advice_column()
+            self.c = cs.advice_column()
+            self.sel = cs.selector()
+            self.tbl = cs.fixed_column()
+            self.pi = cs.instance_column()
+            cs.gate("mul", self.sel.query() * (self.a.query() * self.b.query() - self.c.query()))
+            cs.lookup("rng", [self.sel.query() * self.a.query()], [self.tbl.query()])
+
+        def assign(self, cs, n, instance):
+            fixed = empty_assignment(cs.num_fixed, n)
+            adv = empty_assignment(cs.num_advice, n)
+            for i in range(8):
+                a, b = (7 + i) % 16, i + 5
+                adv[self.a.index][i] = a
+                adv[self.b.index][i] = b
+                adv[self.c.index][i] = a * b % FR_MOD
+                fixed[self.sel.index][i] = 1
+            for i in range(16):
+                fixed[self.tbl.index][i] = i
+            cs.copy(self.pi, 0, self.a, 0)
+            return {"fixed": fixed, "advice": adv}
+
+    srs = kzg.SRS.generate(6)
+    circ = C()
+    inst = [[7]]
+    old_pack = PR._PACK
+    try:
+        PR._PACK = False
+        pk, vk = keygen(srs, 6, circ, inst)
+        ref = prove(srs, pk, circ, inst, seed=b"packtest")
+        assert verify(srs, vk, inst, ref)
+        PR._PACK = True
+        pk2, _ = keygen(srs, 6, circ, inst)
+        assert prove(srs, pk2, circ, inst, seed=b"packtest") == ref
+        os.environ["SPT_FORCE_STREAM"] = "1"
+        try:
+            pk3, _ = keygen(srs, 6, circ, inst)
+            assert prove(srs, pk3, circ, inst, seed=b"packtest") == ref
+        finally:
+            del os.environ["SPT_FORCE_STREAM"]
+    finally:
+        PR._PACK = old_pack
