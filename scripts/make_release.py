@@ -12,6 +12,31 @@ Usage: python scripts/make_release.py [release_dir]  (default release-v0.3.0)
 """
 import os, sys, time, json, logging, subprocess, tempfile
 
+# Fixture: a REAL mainnet chunk by default (batch_25/chunk_112 — 10
+# blocks, 10 sigs; the k=20 single-chip anchor, scripts/prove_chunk20.py).
+# SPT_RELEASE_SYNTHETIC=1 keeps the old synthetic trace (fast CI tier).
+# Ladder domains: SPT_LADDER_K (default here 20 — the TPU-first
+# production scale; reference layer configs run k=21..26 on hundreds of
+# GB of host RAM, our wide-lane builder packs the same op count into
+# k=20 domains on a 16 GB chip — docs/PERF.md round 4).
+_REAL_FIXTURE = (
+    "/root/reference/integration/tests/extra_traces/batch_25/chunk_112"
+)
+if not os.environ.get("SPT_RELEASE_SYNTHETIC"):
+    os.environ.setdefault("SPT_LADDER_K", "20")
+    os.environ.setdefault("SPT_INNER_K", "20")
+    os.environ.setdefault("SPT_BUILDER_LANES", "4")
+    os.environ.setdefault("SPT_BUILDER_LOOKUP_COLS", "16")
+    os.environ.setdefault("SPT_ECC_CAP", "0")
+    os.environ.setdefault("SPT_MODEXP_CAP", "0")
+    os.environ.setdefault("SPT_KECCAK_CAP", "1000000")
+    os.environ.setdefault("SPT_MPT_CAP", "1000000")
+    os.environ.setdefault("SPT_SIG_CAP", "10")  # chunk_112 demand
+    # single-chip HBM choreography for the 200-column inner at k=20
+    os.environ.setdefault("SPT_PACK_RESIDENT", "1")
+    os.environ.setdefault("SPT_LOWMEM", "1")
+    os.environ.setdefault("SPT_COSET_CACHE_COLS", "48")
+
 # default: ambient backend (the attached TPU when present — the recursion
 # layers' k~21 SRS/commits/NTTs are hours on host CPU, minutes on device);
 # SPT_RELEASE_CPU=1 forces the CPU mesh (CI / no-chip environments)
@@ -29,7 +54,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
 logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 
-from test_witness_ccc import synthetic_trace  # noqa: E402
 from scroll_prover_tpu.aggregator import BatchHeader  # noqa: E402
 from scroll_prover_tpu.integration import (  # noqa: E402
     get_blob_from_chunks, prove_and_verify_batch, prove_and_verify_bundle,
@@ -46,8 +70,26 @@ out = tempfile.mkdtemp(prefix="release_out_")
 assets = tempfile.mkdtemp(prefix="release_assets_")
 params = {}
 
+if os.environ.get("SPT_RELEASE_SYNTHETIC"):
+    from test_witness_ccc import synthetic_trace  # noqa: E402
+
+    traces = [synthetic_trace()]
+else:
+    import glob as _glob
+
+    from scroll_prover_tpu.l2types.block_trace import (  # noqa: E402
+        get_block_trace_from_file,
+    )
+
+    files = sorted(
+        _glob.glob(os.path.join(_REAL_FIXTURE, "block_*.json")),
+        key=lambda p: int(p.split("block_")[1].split(".")[0]),
+    )
+    traces = [get_block_trace_from_file(f) for f in files]
+    mark(f"real fixture: {len(traces)} blocks from {_REAL_FIXTURE}")
+
 mark("chunk proving...")
-chunk_proof = prove_and_verify_chunk(params, assets, [synthetic_trace()], "0", out)
+chunk_proof = prove_and_verify_chunk(params, assets, traces, "0", out)
 mark("chunk proof verified")
 # chunk.protocol (reference dump_chunk_protocol -> chunk_chunk_0.protocol)
 with open(os.path.join(out, "chunk_chunk_0.protocol"), "w") as fh:

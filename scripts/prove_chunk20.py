@@ -36,6 +36,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 FIXTURE = "/root/reference/integration/tests/extra_traces/batch_3/chunk_10"
+# the --prove tier's default anchor: a REAL 10-block mainnet chunk whose
+# FULL subcircuit demand (10 sigs, 252k keccak-f rows, mpt/rlp/copy at
+# demand) fits a k=20 domain at 4 builder lanes — the 89-block chunk_10's
+# 89-sig/16-lane shape is mock-tier-provable but its ~300 columns exceed
+# the single chip's 16 GB HBM even packed (docs/PERF.md round 4)
+FIXTURE_PROVE = "/root/reference/integration/tests/extra_traces/batch_25/chunk_112"
 CHECKPOINT = os.path.join(REPO, ".bench_cache", "chunk20.json")
 
 
@@ -51,6 +57,8 @@ def main() -> None:
     ap.add_argument("--lanes", type=int, default=None)
     ap.add_argument("--lookup-cols", type=int, default=None)
     ap.add_argument("--k", type=int, default=20)
+    ap.add_argument("--fixture", default=None,
+                    help="chunk dir of block_*.json traces")
     args = ap.parse_args()
 
     # shape env BEFORE importing the circuit modules
@@ -60,6 +68,19 @@ def main() -> None:
     if args.lookup_cols is not None:
         os.environ["SPT_BUILDER_LOOKUP_COLS"] = str(args.lookup_cols)
     os.environ.setdefault("SPT_MPT_CAP", "1000000")
+    # ecc/modexp precompile traffic is zero in every anchor chunk; cap 0
+    # skips their builders (~300 columns at 16 lanes otherwise)
+    os.environ.setdefault("SPT_ECC_CAP", "0")
+    os.environ.setdefault("SPT_MODEXP_CAP", "0")
+    if args.prove:
+        # single-chip HBM choreography: packed residency + Lagrange-basis
+        # value commits + deferred coeff conversion + capped coset cache
+        os.environ.setdefault("SPT_PACK_RESIDENT", "1")
+        os.environ.setdefault("SPT_LOWMEM", "1")
+        os.environ.setdefault("SPT_COSET_CACHE_COLS", "48")
+        os.environ.setdefault("SPT_BUILDER_LANES", "4")
+        os.environ.setdefault("SPT_BUILDER_LOOKUP_COLS", "16")
+        os.environ.setdefault("SPT_KECCAK_CAP", "1000000")
 
     t0 = time.time()
     if args.mock:
@@ -73,9 +94,10 @@ def main() -> None:
     from scroll_prover_tpu.l2types.block_trace import get_block_trace_from_file
     from scroll_prover_tpu.witness.block import chunk_trace_to_witness_block
 
+    fixture = args.fixture or (FIXTURE_PROVE if args.prove else FIXTURE)
     files = sorted(
-        glob.glob(os.path.join(FIXTURE, "block_*.json")),
-        key=lambda p: int(p.split("block_")[1].split(".")[0]),
+        glob.glob(os.path.join(fixture, "*.json")),
+        key=lambda p: int(p.split("block_")[-1].split(".")[0].split("/")[-1]),
     )
     traces = [get_block_trace_from_file(f) for f in files]
     wb = chunk_trace_to_witness_block(traces)
@@ -150,6 +172,8 @@ def main() -> None:
         record = {
             "tier": "prove",
             "k": args.k,
+            "fixture": fixture,
+            "n_blocks": len(files),
             "sig_cap": sig_cap,
             "n_sigs": n_sigs,
             "lanes": os.environ.get("SPT_BUILDER_LANES", "1"),

@@ -53,6 +53,7 @@ class VerifierGadget:
         instance_cells: list[list[Cell]],
         proof: bytes,
         inner_acc_cells: list[Cell] | None = None,
+        multiopen: str = "gwc",
     ):
         self.b = b
         self.pos = pos
@@ -61,6 +62,8 @@ class VerifierGadget:
         self.instance_cells = instance_cells
         self.proof = proof
         self.inner_acc_cells = inner_acc_cells
+        assert multiopen in ("gwc", "shplonk")
+        self.multiopen = multiopen
 
     # -- Fr helpers --------------------------------------------------------
 
@@ -321,6 +324,11 @@ class VerifierGadget:
 
         v_ch = tr.squeeze()
 
+        if self.multiopen == "shplonk":
+            return self._shplonk_fold(
+                queries, v_ch, tr, rot_cell_of, xn, one, n_h
+            )
+
         # --- grouping (must match host verifier exactly) ------------------
         points_order: list = []
         for _, rid, _ in queries:
@@ -440,6 +448,173 @@ class VerifierGadget:
             rhs_scalars.append(mu)
             rhs_points.append(inner_acc[1])
         rhs = ec.msm(rhs_scalars, rhs_points)
+
+        self.transcript_rows = tr.rows_used()
+        return lhs, rhs
+
+    # -- SHPLONK (BDFG21) fold --------------------------------------------
+
+    def _shplonk_fold(self, queries, v_ch, tr, rot_cell_of, xn, one, n_h):
+        """In-circuit mirror of proof_system/plonk/multiopen.shplonk_fold:
+        reads H, squeezes u, reads W, assembles
+
+          lhs = W (+ mu inner_lhs)
+          rhs = u W + sum_i Z_{T\\S_i}(u) com_i - [sum_i Z_i(u) r_i(u)] G
+                - Z_T(u) H (+ mu inner_rhs)
+
+        as two joint non-native MSMs. Groups/v-powers follow
+        multiopen.group_queries exactly: polys keyed by structural label
+        (query_labels), v^j by global first-appearance order, groups by
+        exact point set. r_i(u) is evaluated in-circuit by the Lagrange
+        formula with _inv_assert divisions (points are distinct transcript
+        scalars). Proof cost: reads 2 G1 points instead of one per
+        distinct rotation (5)."""
+        from ..proof_system.plonk.multiopen import query_labels
+        from ..proof_system.plonk.prover import _perm_chunks as _pc
+
+        b = self.b
+        ec = self.ec
+        cs = self.vk.cs
+        qs = _Queries.from_cs(cs)
+        m = len(cs.perm_columns)
+        n_chunks = (m + _pc(cs) - 1) // _pc(cs) if m else 0
+        labels = query_labels(qs, m, n_chunks, len(cs.lookups))
+        assert len(labels) == len(queries), (len(labels), len(queries))
+
+        # group by label -> poly, then by exact point set (mirror of
+        # multiopen.group_queries, over rot-ids instead of point values —
+        # distinct rot ids are distinct points for a random x)
+        pt_order: list = []
+        polys: list[list] = []  # [handle, [(rid, val_cell), ...]]
+        index: dict = {}
+        for (h, rid, val), lab in zip(queries, labels):
+            if rid not in pt_order:
+                pt_order.append(rid)
+            i = index.get(lab)
+            if i is None:
+                index[lab] = len(polys)
+                polys.append([h, []])
+                i = len(polys) - 1
+            polys[i][1].append((rid, val))
+        groups: list = []  # (key, [(handle, j, {rid: val_cell})])
+        by_key: dict = {}
+        for j, (h, pv) in enumerate(polys):
+            pts = {r for r, _ in pv}
+            key = tuple(r for r in pt_order if r in pts)
+            if key not in by_key:
+                by_key[key] = len(groups)
+                groups.append((key, []))
+            groups[by_key[key]][1].append((h, j, dict(pv)))
+
+        H_pt = tr.read_point(ec)
+        u_ch = tr.squeeze()
+        W_pt = tr.read_point(ec)
+
+        inner_acc = None
+        mu = None
+        if self.inner_acc_cells is not None:
+            cells = self.inner_acc_cells
+            assert len(cells) == 12
+            lhs_in = ec.load_from_limbs(cells[0:6])
+            rhs_in = ec.load_from_limbs(cells[6:12])
+            mu = tr.squeeze()
+            inner_acc = (lhs_in, rhs_in)
+
+        # v^j per global poly index
+        vpows: list[Cell] = [one]
+        for _ in range(1, len(polys)):
+            vpows.append(b.mul(vpows[-1], v_ch))
+        # u - p_t per point (shared by every Z factor)
+        u_minus = {rid: b.sub(u_ch, rot_cell_of(rid)) for rid in pt_order}
+        xn_pows: list[Cell] = [one]
+        for _ in range(1, n_h):
+            xn_pows.append(b.mul(xn_pows[-1], xn))
+
+        def prod(cells_):
+            acc = None
+            for c in cells_:
+                acc = c if acc is None else b.mul(acc, c)
+            return acc if acc is not None else one
+
+        rhs_scalars: list[Cell] = [u_ch]
+        rhs_points: list[EcPointNN] = [W_pt]
+        const_merge: dict = {}
+        const_total: Cell | None = None
+        for key, members in groups:
+            others = [r for r in pt_order if r not in key]
+            zi_u = prod([u_minus[r] for r in others])
+            # r_i(u): Lagrange over the group's points, evaluated at u
+            vals = {
+                r: None for r in key
+            }  # combined sum_j v^j val_{j,r} as cells
+            for h, j, pv in members:
+                for r in key:
+                    term = b.mul(vpows[j], pv[r]) if j > 0 else pv[r]
+                    vals[r] = term if vals[r] is None else b.add(vals[r], term)
+            if len(key) == 1:
+                r_u = vals[key[0]]
+            else:
+                r_u = None
+                for t in key:
+                    num = prod([u_minus[r] for r in key if r != t])
+                    den = prod(
+                        [
+                            b.sub(rot_cell_of(t), rot_cell_of(r))
+                            for r in key
+                            if r != t
+                        ]
+                    )
+                    basis = self._inv_assert(num, den)
+                    term = b.mul(vals[t], basis)
+                    r_u = term if r_u is None else b.add(r_u, term)
+            contrib = b.mul(zi_u, r_u)
+            const_total = (
+                contrib if const_total is None else b.add(const_total, contrib)
+            )
+            # MSM coefficients: v^j * Z_{T\S_i}(u) per member poly
+            for h, j, _pv in members:
+                coeff = b.mul(vpows[j], zi_u) if j > 0 else zi_u
+                if h[0] == "h":
+                    for a, hp in enumerate(h[1]):
+                        s = coeff if a == 0 else b.mul(coeff, xn_pows[a])
+                        rhs_scalars.append(s)
+                        rhs_points.append(hp)
+                elif h[0] == "w":
+                    rhs_scalars.append(coeff)
+                    rhs_points.append(h[1])
+                else:
+                    pt = h[1]
+                    if pt is None:
+                        continue  # identity commitment contributes nothing
+                    if pt in const_merge:
+                        const_merge[pt] = b.add(const_merge[pt], coeff)
+                    else:
+                        const_merge[pt] = coeff
+
+        zt_u = prod([u_minus[r] for r in pt_order])
+        neg1 = FR_MOD - 1
+        g_pt = g1_generator()
+        neg_const = b.lin([(neg1, const_total)])
+        if g_pt in const_merge:
+            const_merge[g_pt] = b.add(const_merge[g_pt], neg_const)
+        else:
+            const_merge[g_pt] = neg_const
+        for pt, s in const_merge.items():
+            rhs_scalars.append(s)
+            rhs_points.append(ec.load_constant(pt))
+        rhs_scalars.append(b.lin([(neg1, zt_u)]))
+        rhs_points.append(H_pt)
+        if inner_acc is not None:
+            rhs_scalars.append(mu)
+            rhs_points.append(inner_acc[1])
+        rhs = ec.msm(rhs_scalars, rhs_points)
+
+        lhs_scalars: list[Cell] = [one]
+        lhs_points: list[EcPointNN] = [W_pt]
+        if inner_acc is not None:
+            lhs_scalars.append(mu)
+            lhs_points.append(inner_acc[0])
+        lhs = ec.msm(lhs_scalars, lhs_points)
 
         self.transcript_rows = tr.rows_used()
         return lhs, rhs

@@ -12,6 +12,7 @@ delta^j * omega^i.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import jax.numpy as jnp
@@ -148,19 +149,39 @@ def keygen(srs: SRS, k: int, circuit: Circuit, instance=None):
     tables = circuit.assign(cs, n, inst)
     fixed_vals = [tables["fixed"][i] for i in range(cs.num_fixed)]
 
-    fixed_polys, fixed_coms = [], []
-    for col in fixed_vals:
-        evals = _to_mont_dev(col)
-        coeffs = dom.intt(evals)
-        fixed_polys.append(coeffs)
-        fixed_coms.append(kzg_commit(srs, coeffs))
-
+    lowmem = os.environ.get("SPT_LOWMEM") == "1"
     sigma_vals = _sigma_values(_build_next(cs, n), len(cs.perm_columns), n)
-    sigma_polys, sigma_coms = [], []
-    for col in sigma_vals:
-        coeffs = dom.intt(_to_mont_dev(col))
-        sigma_polys.append(coeffs)
-        sigma_coms.append(kzg_commit(srs, coeffs))
+    if lowmem:
+        # commit straight from values over the Lagrange-basis SRS (same
+        # points — same polynomial, different basis) and defer the coeff
+        # forms to the first prove(), which converts them consume-as-you-go
+        # after its value tables are released: at k=20 a 200-column circuit
+        # holds ~7 GB/form, and keygen must not leave both resident
+        from ..kzg import kzg_commit_batch
+
+        def commit_vals(cols):
+            out = []
+            for i in range(0, len(cols), 8):
+                grp = [_to_mont_dev(c) for c in cols[i : i + 8]]
+                out.extend(kzg_commit_batch(srs, grp, basis="lagrange"))
+                del grp
+            return out
+
+        fixed_polys, fixed_coms = None, commit_vals(fixed_vals)
+        sigma_polys, sigma_coms = None, commit_vals(sigma_vals)
+    else:
+        fixed_polys, fixed_coms = [], []
+        for col in fixed_vals:
+            evals = _to_mont_dev(col)
+            coeffs = dom.intt(evals)
+            fixed_polys.append(coeffs)
+            fixed_coms.append(kzg_commit(srs, coeffs))
+
+        sigma_polys, sigma_coms = [], []
+        for col in sigma_vals:
+            coeffs = dom.intt(_to_mont_dev(col))
+            sigma_polys.append(coeffs)
+            sigma_coms.append(kzg_commit(srs, coeffs))
 
     usable = cs.usable_rows(n)
     l0_vals = [1] + [0] * (n - 1)

@@ -62,6 +62,18 @@ def _bcast(s: jnp.ndarray, n: int) -> jnp.ndarray:
 
 _PACK = os.environ.get("SPT_PACK_RESIDENT") == "1"
 
+# Low-HBM choreography (round 4, VERDICT #1): at k=20 the real super
+# circuit is ~200-600 columns; value tables + coefficient forms resident
+# together blow the 16 GB chip. SPT_LOWMEM=1 keeps ONLY value tables
+# resident through the grand-product phase — phase 1-3 commitments are
+# computed straight from values over the LAGRANGE-basis SRS (identical
+# points: same polynomial, different basis) — then converts values to
+# coefficient form consume-as-you-go (each source column freed as its
+# coeff form materializes) for the quotient/eval/opening phases. Proof
+# bytes are bit-identical to the default path (asserted by
+# tests/test_msm_v2.py::test_lowmem_proof_bytes_identical).
+_LOWMEM = os.environ.get("SPT_LOWMEM") == "1"
+
 
 def _P(x):
     """Pack a resident (n, 2L) limb column to (n, L) words (no-op unless
@@ -80,9 +92,19 @@ def _U(x):
 
 
 def _decode_mont(arr, count: int | None = None) -> list[int]:
-    """(n, L) Montgomery device array -> host ints (standard form)."""
+    """(n, L) Montgomery device array -> host ints (standard form).
+
+    Reads back PACKED words (two 16-bit limbs per u32): the packed bytes
+    are exactly the little-endian 256-bit encoding, and the tunnel's ~7
+    MB/s readback is the cost driver at production sizes — packing halves
+    it (32 MB/column at k=20 instead of 64 MB)."""
     std = fo.from_mont(F, arr if count is None else arr[:count])
-    return limbs_to_ints(np.asarray(std))
+    packed = np.asarray(fo.pack_limbs(std), dtype=np.uint32)
+    buf = packed.astype("<u4").tobytes()
+    return [
+        int.from_bytes(buf[i * 32 : (i + 1) * 32], "little")
+        for i in range(packed.shape[0])
+    ]
 
 
 def _blind(seed: bytes, tag: str, count: int) -> list[int]:
@@ -169,6 +191,40 @@ def _intt_cols(dom, cols) -> list:
     return out
 
 
+def _intt_host_cols(dom, cols_host) -> list:
+    """Encode host value columns group-by-group and inverse-NTT them: only
+    one NTT group of encoded values is ever device-resident on top of the
+    accumulating coeff forms (lowmem sigma/fixed conversion)."""
+    out: list = []
+    g = _ntt_group(dom.n)
+    for i in range(0, len(cols_host), g):
+        grp = [_encode_mont([int(v) for v in c]) for c in cols_host[i : i + g]]
+        if len(grp) == 1:
+            out.append(_P(dom.intt(grp[0])))
+        else:
+            out.extend(_P(e) for e in dom.intt_batch(jnp.stack(grp)))
+        del grp
+    return out
+
+
+def _intt_consume(dom, cols: list) -> list:
+    """_intt_cols that FREES each source value column as its coefficient
+    form materializes, so values and coeffs never fully coexist (lowmem:
+    peak extra HBM is one NTT group, not a second copy of every column)."""
+    out: list = []
+    g = _ntt_group(dom.n)
+    for i in range(0, len(cols), g):
+        grp = [_U(c) for c in cols[i : i + g]]
+        for j in range(i, min(i + g, len(cols))):
+            cols[j] = None
+        if len(grp) == 1:
+            out.append(_P(dom.intt(grp[0])))
+        else:
+            out.extend(_P(e) for e in dom.intt_batch(jnp.stack(grp)))
+        del grp
+    return out
+
+
 def _n_h(cs: ConstraintSystem, dom) -> int:
     """Quotient piece count: deg(h) < (d-1)n for term-degree budget d, so
     only d-1 of the extended_n/n natural pieces are ever nonzero — the rest
@@ -243,9 +299,12 @@ def prove(
     fixed_dev = _fixed_dev(pk, n)
     inst_dev = [_P(_encode_mont([int(v) for v in inst[i]])) for i in range(cs.num_instance)]
     if _PACK:
-        # pack the keygen outputs resident for this prove (idempotent)
-        pk.fixed_polys = [_P(x) for x in pk.fixed_polys]
-        pk.sigma_polys = [_P(x) for x in pk.sigma_polys]
+        # pack the keygen outputs resident for this prove (idempotent;
+        # lowmem keygen defers fixed/sigma coeff forms to post-phase-3)
+        if pk.fixed_polys is not None:
+            pk.fixed_polys = [_P(x) for x in pk.fixed_polys]
+        if pk.sigma_polys is not None:
+            pk.sigma_polys = [_P(x) for x in pk.sigma_polys]
         pk.l0 = _P(pk.l0)
         pk.l_last = _P(pk.l_last)
     vals_dev = {"advice": advice_dev, "fixed": fixed_dev, "instance": inst_dev}
@@ -268,39 +327,50 @@ def prove(
             neg=lambda a: fo.neg_mod(F, a),
         )
 
-    def _commit_cols(polys):
+    def _commit_cols(polys, basis: str = "monomial"):
         """Commit packed columns in groups of <= 8, unpacking transiently
         (the batch MSM cap is 8 columns anyway)."""
         out = []
         for i in range(0, len(polys), 8):
             out.extend(
-                kzg_commit_batch(srs, [_U(p) for p in polys[i : i + 8]])
+                kzg_commit_batch(
+                    srs, [_U(p) for p in polys[i : i + 8]], basis=basis
+                )
             )
         return out
 
     # --- phase 1: advice commitments -------------------------------------
-    advice_polys = _intt_cols(dom, advice_dev)
-    for c in _commit_cols(advice_polys):
-        tr.write_point(c)
+    # lowmem: commit straight from VALUES over the Lagrange-basis SRS
+    # (identical points — same polynomial, different basis); coefficient
+    # forms are deferred until after phase 3 so values+coeffs never
+    # coexist at full width
+    if _LOWMEM:
+        advice_polys = None
+        for c in _commit_cols(advice_dev, basis="lagrange"):
+            tr.write_point(c)
+    else:
+        advice_polys = _intt_cols(dom, advice_dev)
+        for c in _commit_cols(advice_polys):
+            tr.write_point(c)
 
     _mark("advice committed")
     theta = tr.squeeze_challenge()
 
     # --- phase 2: lookups -------------------------------------------------
+    # compressed input/table columns: theta-Horner over expressions,
+    # fully on device
+    def compress_dev(exprs):
+        acc = None
+        theta_b = _bcast(_mont_scalar(theta), n)
+        for e in exprs:
+            v = eval_expr_dev(e, theta)
+            acc = v if acc is None else fo.add_mod(
+                F, fo.mont_mul(F, acc, theta_b), v
+            )
+        return acc
+
     lookups = []
     for lk in cs.lookups:
-        # compressed input/table columns: theta-Horner over expressions,
-        # fully on device
-        def compress_dev(exprs):
-            acc = None
-            theta_b = _bcast(_mont_scalar(theta), n)
-            for e in exprs:
-                v = eval_expr_dev(e, theta)
-                acc = v if acc is None else fo.add_mod(
-                    F, fo.mont_mul(F, acc, theta_b), v
-                )
-            return acc
-
         a_dev = _P(compress_dev(lk.inputs))
         s_dev = _P(compress_dev(lk.tables))
         a_vals = _decode_mont(_U(a_dev), usable) + [0] * (n - usable)
@@ -309,21 +379,36 @@ def prove(
         a_perm, s_perm = _permute_lookup(a_vals[:u], s_vals[:u])
         a_perm = a_perm + _blind(seed, f"lkA{len(lookups)}", n - u)
         s_perm = s_perm + _blind(seed, f"lkS{len(lookups)}", n - u)
-        lookups.append(
-            {"a": a_vals, "s": s_vals, "a_perm": a_perm, "s_perm": s_perm,
-             "a_dev": a_dev, "s_dev": s_dev}
-        )
+        entry = {"a": a_vals, "s": s_vals, "a_perm": a_perm, "s_perm": s_perm}
+        if _LOWMEM:
+            # a/s compressed columns are recomputed from the (still
+            # resident) value tables at the grand-product phase instead of
+            # held — 2 fewer full columns resident per lookup argument
+            del a_dev, s_dev
+        else:
+            entry["a_dev"], entry["s_dev"] = a_dev, s_dev
+        lookups.append(entry)
     for lk in lookups:
         lk["a_perm_dev"] = _P(_encode_mont(lk["a_perm"]))
         lk["s_perm_dev"] = _P(_encode_mont(lk["s_perm"]))
-    lk_polys = _intt_cols(
-        dom, [d for lk in lookups for d in (lk["a_perm_dev"], lk["s_perm_dev"])]
-    )
-    for i, lk in enumerate(lookups):
-        lk["a_poly"] = lk_polys[2 * i]
-        lk["s_poly"] = lk_polys[2 * i + 1]
-    for c in _commit_cols(lk_polys):
-        tr.write_point(c)
+    if _LOWMEM:
+        # Lagrange-basis commits from values; coeff forms deferred to the
+        # post-phase-3 conversion (same points, same transcript bytes)
+        for c in _commit_cols(
+            [d for lk in lookups for d in (lk["a_perm_dev"], lk["s_perm_dev"])],
+            basis="lagrange",
+        ):
+            tr.write_point(c)
+    else:
+        lk_polys = _intt_cols(
+            dom,
+            [d for lk in lookups for d in (lk["a_perm_dev"], lk["s_perm_dev"])],
+        )
+        for i, lk in enumerate(lookups):
+            lk["a_poly"] = lk_polys[2 * i]
+            lk["s_poly"] = lk_polys[2 * i + 1]
+        for c in _commit_cols(lk_polys):
+            tr.write_point(c)
 
     _mark("lookups committed")
     beta = tr.squeeze_challenge()
@@ -355,7 +440,14 @@ def prove(
     chunks = [
         list(range(a, min(a + chunk_len, m))) for a in range(0, m, chunk_len)
     ]
-    sigma_dev = _sigma_dev(pk, n)
+    if _LOWMEM:
+        # stream each sigma column from its host values at point of use
+        # (the full table is another #perm-columns x 32 MB resident pool
+        # at k=20; the coeff forms are built consume-as-you-go later)
+        sigma_at = lambda jj: _encode_mont(pk.sigma_values[jj])
+    else:
+        sigma_dev = _sigma_dev(pk, n)
+        sigma_at = lambda jj: _U(sigma_dev[jj])
 
     perm_z_devs = []
     last_z = fo.one_mont(F)
@@ -374,7 +466,7 @@ def prove(
                 F, den,
                 fo.add_mod(
                     F,
-                    fo.add_mod(F, v, fo.mont_mul(F, beta_b, _U(sigma_dev[jj]))),
+                    fo.add_mod(F, v, fo.mont_mul(F, beta_b, sigma_at(jj))),
                     gamma_b,
                 ),
             )
@@ -384,10 +476,17 @@ def prove(
     lookup_z_devs = []
     one_sc = fo.one_mont(F)
     for li, lk in enumerate(lookups):
+        if _LOWMEM:
+            # recompute the compressed a/s columns from the still-resident
+            # value tables (cheaper than keeping 2 columns per lookup)
+            a_d = compress_dev(cs.lookups[li].inputs)
+            s_d = compress_dev(cs.lookups[li].tables)
+        else:
+            a_d, s_d = _U(lk["a_dev"]), _U(lk["s_dev"])
         num = fo.mont_mul(
             F,
-            fo.add_mod(F, _U(lk["a_dev"]), beta_b),
-            fo.add_mod(F, _U(lk["s_dev"]), gamma_b),
+            fo.add_mod(F, a_d, beta_b),
+            fo.add_mod(F, s_d, gamma_b),
         )
         den = fo.mont_mul(
             F,
@@ -402,12 +501,18 @@ def prove(
     # them preserves the transcript byte stream while paying the
     # per-dispatch tunnel floor once instead of three times (VERDICT
     # round-3 weak #4: per-commit MSM floor).
-    perm_z_polys = _intt_cols(dom, perm_z_devs)
-    lookup_z_polys = _intt_cols(dom, lookup_z_devs)
-    random_poly = dom.intt(_encode_mont(_blind(seed, "rand", n)))
-    phase3_commits = _commit_cols(
-        perm_z_polys + lookup_z_polys + [random_poly]
-    )
+    if _LOWMEM:
+        rand_vals = _encode_mont(_blind(seed, "rand", n))
+        phase3_commits = _commit_cols(
+            perm_z_devs + lookup_z_devs + [rand_vals], basis="lagrange"
+        )
+    else:
+        perm_z_polys = _intt_cols(dom, perm_z_devs)
+        lookup_z_polys = _intt_cols(dom, lookup_z_devs)
+        random_poly = dom.intt(_encode_mont(_blind(seed, "rand", n)))
+        phase3_commits = _commit_cols(
+            perm_z_polys + lookup_z_polys + [random_poly]
+        )
     for c in phase3_commits:
         tr.write_point(c)
 
@@ -416,10 +521,41 @@ def prove(
     y = tr.squeeze_challenge()
 
     instance_polys = _intt_cols(dom, inst_dev)
+    if _LOWMEM:
+        # value tables -> coefficient forms, consume-as-you-go: each source
+        # column is freed as its coeff form materializes, so the two
+        # representations never coexist at full width (the phase 1-3
+        # commitments already happened in the Lagrange basis)
+        advice_polys = _intt_consume(dom, advice_dev)
+        perm_z_polys = _intt_consume(dom, perm_z_devs)
+        lookup_z_polys = _intt_consume(dom, lookup_z_devs)
+        random_poly = dom.intt(rand_vals)
+        rand_vals = None
+        lk_perm_vals = [
+            d for lk in lookups for d in (lk["a_perm_dev"], lk["s_perm_dev"])
+        ]
+        for lk in lookups:
+            lk.pop("a_perm_dev", None)
+            lk.pop("s_perm_dev", None)
+        lk_polys = _intt_consume(dom, lk_perm_vals)
+        del lk_perm_vals
+        for i, lk in enumerate(lookups):
+            lk["a_poly"] = lk_polys[2 * i]
+            lk["s_poly"] = lk_polys[2 * i + 1]
+    if pk.fixed_polys is None:
+        # lowmem keygen committed fixed/sigma in the Lagrange basis and
+        # left the coeff forms to the first prove (consumed in place
+        # from the same value tables phases 1-3 just used — the cache
+        # entries are nulled as each coeff column materializes)
+        pk._fixed_dev = None
+        pk.fixed_polys = _intt_consume(dom, fixed_dev)
+    if pk.sigma_polys is None:
+        pk._sigma_dev = None
+        pk.sigma_polys = _intt_host_cols(dom, pk.sigma_values)
     # release base-domain value tables before the extended-domain walk: at
     # k=20 every retained (n, 16) array is 64 MB and the 2^22 quotient
     # phase runs within ~256 MB of the 16 GB HBM budget (round-3 OOM)
-    vals_dev = advice_dev = inst_dev = None
+    vals_dev = advice_dev = inst_dev = fixed_dev = None
     perm_z_devs = lookup_z_devs = None
     for lk in lookups:
         for key in ("a_dev", "s_dev", "a_perm_dev", "s_perm_dev"):
@@ -565,27 +701,38 @@ def _sigma_dev(pk: ProvingKey, n: int):
 def _combine(group, v_ch):
     """sum_i v^i f_i over (poly, eval) pairs; f_0 gets v^0.
 
-    Batched: one stacked (P, n, L) mul by the v-power column + a halving
+    Batched: stacked (B, n, L) mul by the v-power column + a halving
     tree-sum, instead of P sequential axpy dispatches (the GWC fold cost
-    ~27 s at k=20 with ~25 polys per point, round-3 phase log)."""
+    ~27 s at k=20 with ~25 polys per point, round-3 phase log). The stack
+    is CHUNKED to bound the working set: a 450-query point at k=20 would
+    otherwise stack 28 GB (the production super circuit hit this)."""
     maxlen = max(p.shape[0] for p, _ in group)
-    padded = []
-    for polyc, _ in group:
-        if polyc.shape[0] < maxlen:
-            pad = jnp.zeros((maxlen - polyc.shape[0], polyc.shape[1]), jnp.uint32)
-            polyc = jnp.concatenate([polyc, pad])
-        padded.append(polyc)
-    stacked = jnp.stack(padded)  # (P, n, L)
+    batch = max(1, _NTT_BATCH_BUDGET // max(maxlen, 1))
     vpows, vp = [], 1
     for _ in group:
         vpows.append(vp)
         vp = vp * v_ch % FR_MOD
-    vp_m = _encode_mont(vpows)  # (P, L)
-    # mont_mul_big: P*n rows easily exceeds the composed-CIOS compile limit
-    weighted = fo.mont_mul_big(
-        F, stacked, jnp.broadcast_to(vp_m[:, None, :], stacked.shape)
-    )
-    return poly_ops.sum_mont(F, weighted)
+    acc = None
+    for b0 in range(0, len(group), batch):
+        chunk = group[b0 : b0 + batch]
+        padded = []
+        for polyc, _ in chunk:
+            if polyc.shape[0] < maxlen:
+                pad = jnp.zeros(
+                    (maxlen - polyc.shape[0], polyc.shape[1]), jnp.uint32
+                )
+                polyc = jnp.concatenate([polyc, pad])
+            padded.append(polyc)
+        stacked = jnp.stack(padded)  # (B, n, L)
+        vp_m = _encode_mont(vpows[b0 : b0 + batch])  # (B, L)
+        # mont_mul_big: B*n rows easily exceeds the composed-CIOS limit
+        weighted = fo.mont_mul_big(
+            F, stacked, jnp.broadcast_to(vp_m[:, None, :], stacked.shape)
+        )
+        part = poly_ops.sum_mont(F, weighted)
+        acc = part if acc is None else fo.add_mod(F, acc, part)
+        del stacked, weighted, padded
+    return acc
 
 
 def _rot_point(x: int, omega: int, rot: int) -> int:
@@ -646,16 +793,22 @@ def _quotient_walk(cs, chunks, theta, beta, gamma, u, env):
         )
 
     if env.n_perm_z:
-        z_vals = [env.zcol(("permz", a)) for a in range(env.n_perm_z)]
-        fold(mm(env.l0, sb(env.one, z_vals[0])))
-        fold(mm(env.llast, sb(mm(z_vals[-1], z_vals[-1]), z_vals[-1])))
+        # fetch z columns lazily per use (a list comprehension would pin
+        # every permutation z at once — ~2 GB of transients per coset for
+        # the production super circuit's ~36 chunks)
+        z_vals = lambda a: env.zcol(("permz", a))
+        fold(mm(env.l0, sb(env.one, z_vals(0))))
+        zl = z_vals(env.n_perm_z - 1)
+        fold(mm(env.llast, sb(mm(zl, zl), zl)))
+        del zl
         for a in range(1, len(chunks)):
-            fold(mm(env.l0, sb(z_vals[a], roll(z_vals[a - 1], u))))
+            fold(mm(env.l0, sb(z_vals(a), roll(z_vals(a - 1), u))))
         beta_c = const(beta)
         gamma_c = const(gamma)
         for a, chunk in enumerate(chunks):
-            left = roll(z_vals[a], 1)  # Z(omega X)
-            right = z_vals[a]
+            za = z_vals(a)
+            left = roll(za, 1)  # Z(omega X)
+            right = za
             for jj in chunk:
                 cref = cs.perm_columns[jj]
                 v = q(cref.kind, cref.index, 0)
@@ -902,6 +1055,36 @@ def _quotient_cosets(
             plan.append(((kind, c_), by_kind[kind][c_]))
     plan += [(tag, p) for tag, p in zpolys.items()]
     plan += [("l0", pk.l0), ("l_last", pk.l_last), ("l_active", lact_poly)]
+    # SPT_COSET_CACHE_COLS caps the per-coset cache (at k=20 a 500-column
+    # circuit's full cache is ~16 GB — over the chip). Columns beyond the
+    # cap are re-NTT'd at every use; the plan is ordered by STATIC use
+    # count (walk structure is witness-independent) so the hottest columns
+    # — selectors, shared tables — stay cached.
+    cache_cap = int(os.environ.get("SPT_COSET_CACHE_COLS", "0")) or None
+    if cache_cap is not None:
+        uses: dict = {}
+
+        def _count(tag):
+            uses[tag] = uses.get(tag, 0) + 1
+
+        for _, expr in cs.gates:
+            for kind, c_, _rot in expr.queries():
+                _count((kind, c_))
+        for jj, cref in enumerate(cs.perm_columns):
+            _count((cref.kind, cref.index))
+            _count(("sigma", jj))
+        for a in range(len([t for t in zpolys if t[0] == "permz"])):
+            uses[("permz", a)] = uses.get(("permz", a), 0) + 3
+        for li, lkexprs in enumerate(cs.lookups):
+            for e in lkexprs.inputs + lkexprs.tables:
+                for kind, c_, _rot in e.queries():
+                    _count((kind, c_))
+            uses[("lkz", li)] = 3
+            uses[("lka", li)] = 4
+            uses[("lks", li)] = 2
+        for t in ("l0", "l_last", "l_active"):
+            uses[t] = 1 << 30  # pinned: used by nearly every non-gate term
+        plan.sort(key=lambda e: -uses.get(e[0], 0))
     accs = []
     for r in range(ratio):
         shift = dom.g_coset * pow(dom.extended_omega, r, P) % P
@@ -912,8 +1095,9 @@ def _quotient_cosets(
         cache: dict = {}
 
         g = _ntt_group(n)
-        for i in range(0, len(plan), g):
-            grp = plan[i : i + g]
+        prefill = plan if cache_cap is None else plan[:cache_cap]
+        for i in range(0, len(prefill), g):
+            grp = prefill[i : i + g]
             if len(grp) == 1:
                 t_, p_ = grp[0]
                 cache[t_] = _P(dom.ntt(fo.mont_mul_big(F, _U(p_), scale)))
@@ -929,7 +1113,8 @@ def _quotient_cosets(
             if tag in cache:
                 return _U(cache[tag])
             e = dom.ntt(fo.mont_mul_big(F, _U(polyc), scale))
-            cache[tag] = _P(e)
+            if cache_cap is None or len(cache) < cache_cap:
+                cache[tag] = _P(e)
             return e
 
         def q(kind, c_, rot):

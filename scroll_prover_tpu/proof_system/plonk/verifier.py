@@ -303,12 +303,16 @@ def _verify(
     )
 
 
-def accumulator_for(vk: VerifyingKey, instance, proof: bytes, inner_acc=None):
+def accumulator_for(
+    vk: VerifyingKey, instance, proof: bytes, inner_acc=None,
+    multiopen: str = "gwc",
+):
     """Host twin of the in-circuit verifier: the KZG accumulator (lhs, rhs)
     an outer VerifierCircuit exposes as its first 12 instance cells."""
     return verify(
         None, vk, instance, proof,
         return_pairing_inputs=True, fold_accumulator=inner_acc,
+        multiopen=multiopen,
     )
 
 

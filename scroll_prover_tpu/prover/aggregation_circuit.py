@@ -56,6 +56,7 @@ class AggregationCircuit(Circuit):
         blob_bytes: bytes | None = None,
         blob_zy: tuple[int, int, int, int] = (2, 3, 4, 5),
         blob_width: int = 4096,
+        inner_multiopen: str = "gwc",
     ):
         """inners: [(vk, proof, instances)] per aggregated SNARK;
         context: public values bound by the digest and exposed after it;
@@ -91,6 +92,7 @@ class AggregationCircuit(Circuit):
         self.blob_bytes = blob_bytes
         self.blob_zy = blob_zy
         self.blob_width = blob_width
+        self.inner_multiopen = inner_multiopen
         self._min_k: int | None = None
         self._assign_cache: dict[int, dict] = {}
 
@@ -126,6 +128,7 @@ class AggregationCircuit(Circuit):
                 inner_acc_cells=(
                     inst_cells[:ACC_CELLS] if self.inners_have_acc else None
                 ),
+                multiopen=self.inner_multiopen,
             )
             lhs_i, rhs_i = vg.run(transcript_row0=row)
             row = vg.transcript_rows
@@ -249,7 +252,12 @@ class AggregationCircuit(Circuit):
             inner_acc = (
                 acc_from_limbs(ins[:ACC_CELLS]) if self.inners_have_acc else None
             )
-            pairs.append(accumulator_for(vk, [ins], proof, inner_acc))
+            pairs.append(
+                accumulator_for(
+                    vk, [ins], proof, inner_acc,
+                    multiopen=self.inner_multiopen,
+                )
+            )
         digest, mu = self._host_sponge(pairs)
         lhs = rhs = None
         mp = 1

@@ -58,12 +58,14 @@ class VerifierCircuit(Circuit):
         inner_proof: bytes,
         inner_instances: list[int],
         inner_has_acc: bool = False,
+        inner_multiopen: str = "gwc",
     ):
         assert inner_vk.cs.num_instance <= 1, "single instance column expected"
         self.inner_vk = inner_vk
         self.inner_proof = inner_proof
         self.inner_instances = [int(v) % FR_MOD for v in inner_instances]
         self.inner_has_acc = inner_has_acc
+        self.inner_multiopen = inner_multiopen
         if inner_has_acc:
             assert len(self.inner_instances) >= ACC_CELLS
         self._min_k: int | None = None
@@ -101,7 +103,7 @@ class VerifierCircuit(Circuit):
         )
         vg = VerifierGadget(
             b, self.pos, ec, self.inner_vk, inst_cells, self.inner_proof,
-            inner_acc_cells=acc_cells,
+            inner_acc_cells=acc_cells, multiopen=self.inner_multiopen,
         )
         lhs, rhs = vg.run()
         return b, vg, lhs, rhs, inst_cells
@@ -154,6 +156,7 @@ class VerifierCircuit(Circuit):
             else None
         )
         lhs, rhs = accumulator_for(
-            self.inner_vk, [self.inner_instances], self.inner_proof, inner_acc
+            self.inner_vk, [self.inner_instances], self.inner_proof, inner_acc,
+            multiopen=self.inner_multiopen,
         )
         return [[*acc_limbs(lhs, rhs), *self.passthrough()]]

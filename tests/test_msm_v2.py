@@ -235,3 +235,86 @@ def test_packed_residency_proof_bytes_identical():
             del os.environ["SPT_FORCE_STREAM"]
     finally:
         PR._PACK = old_pack
+
+
+def test_lowmem_proof_bytes_identical():
+    """SPT_LOWMEM commits phases 1-3 from values over the Lagrange basis
+    and defers every coeff form to post-phase-3 consume-as-you-go
+    conversion; proof bytes must be bit-identical to the default path,
+    with the lowmem KEYGEN too (Lagrange-basis fixed/sigma commits),
+    and under a tight coset-cache cap."""
+    import os
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from scroll_prover_tpu.proof_system import kzg
+    from scroll_prover_tpu.proof_system.plonk import Circuit
+    from scroll_prover_tpu.proof_system.plonk.cs import empty_assignment
+    from scroll_prover_tpu.proof_system.plonk.keygen import keygen
+    from scroll_prover_tpu.proof_system.plonk.prover import prove
+    from scroll_prover_tpu.proof_system.plonk.verifier import verify
+    import scroll_prover_tpu.proof_system.plonk.prover as PR
+    import scroll_prover_tpu.proof_system.plonk.keygen as KG
+
+    class C(Circuit):
+        def configure(self, cs):
+            self.a = cs.advice_column()
+            self.b = cs.advice_column()
+            self.c = cs.advice_column()
+            self.sel = cs.selector()
+            self.tbl = cs.fixed_column()
+            self.pi = cs.instance_column()
+            cs.gate("mul", self.sel.query() * (self.a.query() * self.b.query() - self.c.query()))
+            cs.lookup("rng", [self.sel.query() * self.a.query()], [self.tbl.query()])
+
+        def assign(self, cs, n, instance):
+            fixed = empty_assignment(cs.num_fixed, n)
+            adv = empty_assignment(cs.num_advice, n)
+            for i in range(8):
+                a, b = (7 + i) % 16, i + 5
+                adv[self.a.index][i] = a
+                adv[self.b.index][i] = b
+                adv[self.c.index][i] = a * b % FR_MOD
+                fixed[self.sel.index][i] = 1
+            for i in range(16):
+                fixed[self.tbl.index][i] = i
+            cs.copy(self.pi, 0, self.a, 0)
+            return {"fixed": fixed, "advice": adv}
+
+    srs = kzg.SRS.generate(6)
+    inst = [[7]]
+    old = PR._LOWMEM
+    try:
+        PR._LOWMEM = False
+        c1 = C()
+        pk, vk = keygen(srs, 6, c1, inst)
+        ref = prove(srs, pk, c1, inst, seed=b"lowmem")
+        assert verify(srs, vk, inst, ref)
+
+        PR._LOWMEM = True
+        os.environ["SPT_LOWMEM"] = "1"  # keygen reads the env directly
+        os.environ["SPT_COSET_CACHE_COLS"] = "2"
+        try:
+            c2 = C()
+            pk2, vk2 = keygen(srs, 6, c2, inst)
+            assert pk2.fixed_polys is None and pk2.sigma_polys is None
+            assert vk2.transcript_repr() == vk.transcript_repr()
+            got = prove(srs, pk2, c2, inst, seed=b"lowmem")
+            assert got == ref
+            # coeff forms materialized for reuse; a second prove (now with
+            # polys resident) must still produce the same bytes
+            assert pk2.fixed_polys is not None
+            assert prove(srs, pk2, c2, inst, seed=b"lowmem") == ref
+            os.environ["SPT_FORCE_STREAM"] = "1"
+            try:
+                c3 = C()
+                pk3, _ = keygen(srs, 6, c3, inst)
+                assert prove(srs, pk3, c3, inst, seed=b"lowmem") == ref
+            finally:
+                del os.environ["SPT_FORCE_STREAM"]
+        finally:
+            del os.environ["SPT_LOWMEM"]
+            del os.environ["SPT_COSET_CACHE_COLS"]
+    finally:
+        PR._LOWMEM = old

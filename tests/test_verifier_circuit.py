@@ -130,3 +130,42 @@ def test_chained_layers(srs, inner):
     assert check_accumulator(srs1, *acc_from_limbs(inst2[0][:ACC_CELLS]))
     # pass-through drops layer1's accumulator cells
     assert inst2[0][ACC_CELLS:] == inst1[0][ACC_CELLS:]
+
+
+@pytest.fixture(scope="module")
+def inner_shplonk(srs):
+    circuit = MulCircuit()
+    pk, vk = keygen(srs, INNER_K, circuit)
+    proof = prove(
+        srs, pk, circuit, _instance(), seed=b"vc-shplonk", multiopen="shplonk"
+    )
+    assert verify(srs, vk, _instance(), proof, multiopen="shplonk")
+    return vk, proof, _instance()[0]
+
+
+def test_shplonk_circuit_acc_matches_host(srs, inner_shplonk):
+    """VERDICT round-3 item 9: the in-circuit verifier's SHPLONK fold.
+    The gadget's (lhs, rhs) accumulator cells must equal the host
+    shplonk_fold's, and the deferred pairing must hold."""
+    vk, proof, inst = inner_shplonk
+    circ = VerifierCircuit(vk, proof, inst, inner_multiopen="shplonk")
+    want = circ.instance_for()[0]
+    lhs, rhs = _counting_acc(circ)
+    got = []
+    for pt in (lhs, rhs):
+        for coord in pt:
+            got += [(coord >> (88 * i)) & ((1 << 88) - 1) for i in range(3)]
+    assert got == want[:ACC_CELLS], "shplonk in-circuit acc != host acc"
+    assert check_accumulator(srs, *acc_from_limbs(want[:ACC_CELLS]))
+
+
+def test_shplonk_gadget_rejects_tampered_proof(srs, inner_shplonk):
+    vk, proof, inst = inner_shplonk
+    bad = bytearray(proof)
+    bad[-3] ^= 1  # corrupt W (the SHPLONK opening point)
+    circ = VerifierCircuit(vk, bytes(bad), inst, inner_multiopen="shplonk")
+    try:
+        limbs = circ.instance_for()[0][:ACC_CELLS]
+    except (AssertionError, ValueError):
+        return
+    assert not check_accumulator(srs, *acc_from_limbs(limbs))
