@@ -53,6 +53,13 @@ class StepWitness:
     code_hash: int = 0
     # executed opcode byte from the replay (-1: derive from the mnemonic)
     op_byte: int = -1
+    # in-circuit semantics (replay path only): frame call id, stack height
+    # before the op, rw counter of the step's first stack row, and the
+    # ordered [(slot, value, is_write), ...] accesses (VERDICT round-3 #4)
+    call_id: int = 0
+    sp: int = -1
+    stack_rwc0: int = -1
+    stack_ops: tuple = ()
 
 
 # rw-table tags (reference bus-mapping RwTableTag subset)
@@ -61,6 +68,7 @@ TAG_NONCE = 2
 TAG_CODEHASH = 3
 TAG_STORAGE = 4
 TAG_TSTORAGE = 5  # EIP-1153 transient storage (own consistency group)
+TAG_STACK = 6  # per-frame stack slots (key = slot index, addr = call id)
 
 
 @dataclass
@@ -419,12 +427,31 @@ def _absorb_replay(wb: WitnessBlock, er, repl, tx_index: int) -> None:
     for h, code in repl.codes.items():
         _add_bytecode(wb, code)
         wb.bytecodes.setdefault(f"{h:064x}", len(code))
+    cid_ns = (tx_index + 1) << 32  # call ids unique across the chunk
     for j, sl in enumerate(er.struct_logs):
+        ops = repl.step_stack_ops[j] if j < len(repl.step_stack_ops) else []
+        rwc0 = len(wb.rw_rows) + 1 if ops else -1
+        step_ops = []
+        for cid, slot, value, is_write in ops:
+            wb.rw_rows.append(
+                RwRow(
+                    len(wb.rw_rows) + 1, TAG_STACK, cid_ns | cid, slot,
+                    value, is_write,
+                )
+            )
+            step_ops.append((slot, value, is_write))
         wb.steps.append(
             StepWitness(
                 sl.op, sl.pc, sl.gas_cost, sl.depth, tx_index,
                 code_hash=repl.step_code_hashes[j],
                 op_byte=repl.step_op_bytes[j],
+                call_id=(
+                    cid_ns | repl.step_call_ids[j]
+                    if j < len(repl.step_call_ids) else 0
+                ),
+                sp=repl.step_sp[j] if j < len(repl.step_sp) else -1,
+                stack_rwc0=rwc0,
+                stack_ops=tuple(step_ops),
             )
         )
     wb.rw_ops += repl.stack_rw + repl.memory_rw + len(repl.storage_accesses)

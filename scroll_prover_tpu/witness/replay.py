@@ -125,6 +125,13 @@ class ReplayResult:
     copy_events: list = field(default_factory=list)  # CopyEvent
     stack_rw: int = 0  # exact stack reads+writes
     memory_rw: int = 0  # exact memory word reads+writes
+    # per traced step: frame call id, stack height BEFORE the op, and the
+    # ordered stack accesses [(call_id, slot, value, is_write), ...] the op
+    # performed — the evm circuit's semantic rw lookups consume these
+    # (in-circuit opcode state-transition semantics, VERDICT round-3 #4)
+    step_call_ids: list = field(default_factory=list)
+    step_sp: list = field(default_factory=list)
+    step_stack_ops: list = field(default_factory=list)
     logs: int = 0
     return_data: bytes = b""
     failed: bool = False
@@ -170,6 +177,7 @@ class _Frame:
     # (dest_stack_slot info for call return): set when a sub-call is pending
     pending_ret: tuple | None = None  # (out_off, out_size)
     chash: int = -1  # lazy keccak(code)
+    call_id: int = 0  # unique frame id (stack rw rows group by it)
 
     def code_hash(self) -> int:
         if self.chash < 0:
@@ -178,6 +186,17 @@ class _Frame:
 
 
 class Replayer:
+    _cur_ops: list = None
+    _next_cid: int = 0
+
+    def _rec(self, call_id: int, slot: int, value: int, is_write: bool):
+        if self._cur_ops is not None:
+            self._cur_ops.append((call_id, slot, value & MASK, is_write))
+
+    def _assign_cid(self, frame: "_Frame") -> "_Frame":
+        self._next_cid += 1
+        frame.call_id = self._next_cid
+        return frame
     """Replays one tx against its structLog stream."""
 
     def __init__(self, trace: BlockTrace, tx: TransactionTrace,
@@ -315,7 +334,7 @@ class Replayer:
                 code=code, calldata=tx.call_data, address=to,
                 code_address=to, caller=sender, value=tx.value, static=False,
             )
-        frames = [frame]
+        frames = [self._assign_cid(frame)]
         i = 0
         n = len(self.logs)
         while frames and i < n:
@@ -343,6 +362,10 @@ class Replayer:
             self.res.step_op_bytes.append(op)
             if h:
                 self.res.codes.setdefault(h, f.code)
+            self.res.step_call_ids.append(f.call_id)
+            self.res.step_sp.append(len(f.stack))
+            self._cur_ops = []
+            self.res.step_stack_ops.append(self._cur_ops)
             halt = self._step(frames, f, op, log)
             if halt is not None:
                 data, success = halt
@@ -380,9 +403,12 @@ class Replayer:
                 parent.stack.append(dead.address)
             else:
                 parent.stack.append(0)
+            self._rec(parent.call_id, len(parent.stack) - 1,
+                      parent.stack[-1], True)
             parent.returndata = b"" if success else data
         else:
             parent.stack.append(success)
+            self._rec(parent.call_id, len(parent.stack) - 1, success, True)
             parent.returndata = data
             if parent.pending_ret:
                 out_off, out_size = parent.pending_ret
@@ -401,12 +427,17 @@ class Replayer:
             res.stack_rw += k
             if len(st) < k:
                 raise ReplayDivergence("stack underflow")
-            vals = [pop() for _ in range(k)]
+            vals = []
+            for _ in range(k):
+                v = pop()
+                self._rec(f.call_id, len(st), v, False)
+                vals.append(v)
             return vals[0] if k == 1 else vals
 
         def spush(v):
             res.stack_rw += 1
             push(v & MASK)
+            self._rec(f.call_id, len(st) - 1, v & MASK, True)
 
         f.pc += 1  # default; jumps overwrite
         if 0x60 <= op <= 0x7F:  # PUSH1..32
@@ -423,14 +454,22 @@ class Replayer:
             if len(st) < k:
                 raise ReplayDivergence("stack underflow")
             res.stack_rw += 2
-            push(st[-k])
+            v = st[-k]
+            self._rec(f.call_id, len(st) - k, v, False)
+            push(v)
+            self._rec(f.call_id, len(st) - 1, v, True)
             return None
         if 0x90 <= op <= 0x9F:  # SWAP
             k = op - 0x8F
             if len(st) < k + 1:
                 raise ReplayDivergence("stack underflow")
             res.stack_rw += 4
-            st[-1], st[-k - 1] = st[-k - 1], st[-1]
+            a, b = st[-1], st[-k - 1]
+            self._rec(f.call_id, len(st) - 1, a, False)
+            self._rec(f.call_id, len(st) - 1 - k, b, False)
+            st[-1], st[-k - 1] = b, a
+            self._rec(f.call_id, len(st) - 1, b, True)
+            self._rec(f.call_id, len(st) - 1 - k, a, True)
             return None
         if op == 0x50:
             spop()
@@ -671,11 +710,11 @@ class Replayer:
             self._acct(addr).balance += value
             creator.balance -= value
             frames.append(
-                _Frame(
+                self._assign_cid(_Frame(
                     code=init, calldata=b"", address=addr, code_address=addr,
                     caller=f.address, value=value, static=f.static,
                     is_create=True,
-                )
+                ))
             )
             return None
 
@@ -738,7 +777,7 @@ class Replayer:
                     code_address=to, caller=f.address, value=0, static=True,
                 )
             f.pending_ret = (out_off, out_size)
-            frames.append(sub)
+            frames.append(self._assign_cid(sub))
             return None
 
         if op == 0xF3:  # RETURN

@@ -122,7 +122,7 @@ class ScrollSuperCircuit(Circuit):
             CopySubCircuit().rows_for(wb) + 2,
             len(wb.rw_rows) + 2,
             len(wb.keccak_events) + 2,
-            wb.num_steps + 2,
+            wb.num_steps + 258,  # +256-row opcode-properties fixed table
             mpt_rows + 2,
             sig_rows + 2,
             sig_builder_rows + 64,
@@ -154,11 +154,11 @@ class ScrollSuperCircuit(Circuit):
         self.bytecode = BytecodeSubCircuit().configure(
             cs, self.byte_table, self.keccak
         )
-        self.evm = EvmSubCircuit().configure(cs, self.bytecode)
+        self.state = StateSubCircuit().configure(cs)
+        self.evm = EvmSubCircuit().configure(cs, self.bytecode, self.state)
         self.copy = CopySubCircuit().configure(
             cs, self.byte_table, self.bytecode, self.keccak, self.tx
         )
-        self.state = StateSubCircuit().configure(cs)
         self.exp = ExpSubCircuit().configure(cs)
         self.poseidon = PoseidonSubCircuit().configure(cs)
         self.mpt = MptSubCircuit().configure(cs, self.state, self.poseidon)
