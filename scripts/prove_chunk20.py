@@ -144,6 +144,11 @@ def main() -> None:
         return
 
     if args.prove:
+        import logging
+
+        logging.basicConfig(
+            level=logging.INFO, format="%(asctime)s %(message)s"
+        )
         import jax
 
         jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))

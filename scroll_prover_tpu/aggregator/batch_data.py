@@ -56,6 +56,27 @@ class BatchData:
     def data_hash(self) -> bytes:
         return keccak256(self.get_batch_data_bytes())
 
+    @classmethod
+    def parse(cls, batch_bytes: bytes) -> "BatchData":
+        """Inverse of get_batch_data_bytes (verifier-side blob binding:
+        decode the metadata and slice the per-chunk payload segments)."""
+        meta = 2 + 4 * MAX_AGG_SNARKS
+        assert len(batch_bytes) >= meta, "batch bytes shorter than metadata"
+        (n,) = struct.unpack(">H", batch_bytes[:2])
+        sizes = [
+            struct.unpack(">I", batch_bytes[2 + 4 * i : 6 + 4 * i])[0]
+            for i in range(MAX_AGG_SNARKS)
+        ]
+        assert 0 < n <= MAX_AGG_SNARKS, f"invalid num_valid_chunks {n}"
+        assert all(sz == 0 for sz in sizes[n:]), "padded chunk with size"
+        off = meta
+        data = []
+        for sz in sizes:
+            data.append(batch_bytes[off : off + sz])
+            off += sz
+        assert off == len(batch_bytes), "trailing bytes after payload"
+        return cls(n, sizes, data)
+
 
 def get_blob_bytes(batch_bytes: bytes, compress: bool | None = None) -> bytes:
     """batch bytes (metadata||payload) -> enveloped blob bytes (reference

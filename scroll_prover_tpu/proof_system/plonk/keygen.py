@@ -111,30 +111,66 @@ class ProvingKey:
     fixed_polys: list          # device (n, L) Montgomery coeff forms
     fixed_values: list         # host object arrays (lookup tables need values)
     sigma_polys: list
-    sigma_values: list[list[int]]
+    sigma_values: "_SigmaValues"  # lazy device-computed sigma columns
     l0: jnp.ndarray = None
     l_last: jnp.ndarray = None
     l_active: np.ndarray = None  # host 0/1 mask of active gate rows
 
+    def sigma_col_mont(self, jj: int) -> jnp.ndarray:
+        """(n, L) Montgomery device values of sigma column jj."""
+        return self.sigma_values.col_mont(jj)
 
-def _sigma_values(nxt: np.ndarray, m: int, n: int) -> list[list[int]]:
-    from ...fields.bn254 import FR_ROOT_OF_UNITY
 
-    k = n.bit_length() - 1
-    omega = pow(FR_ROOT_OF_UNITY, 1 << (FR_TWO_ADICITY - k), FR_MOD)
-    om_pows = [1] * n
-    for i in range(1, n):
-        om_pows[i] = om_pows[i - 1] * omega % FR_MOD
-    delta_pows = [pow(DELTA, j, FR_MOD) for j in range(m)]
-    out = []
-    for j in range(m):
-        col = []
-        for i in range(n):
-            t = int(nxt[j * n + i])
-            cj, ci = divmod(t, n)
-            col.append(delta_pows[cj] * om_pows[ci] % FR_MOD)
-        out.append(col)
-    return out
+class _SigmaValues:
+    """sigma[j][i] = delta^{cj} * omega^{ci} with (cj, ci) = divmod(
+    nxt[j*n+i], n) — computed ON DEVICE as a gather + one Montgomery mul
+    (the host build was ~100M Python big-int ops at k=20/100+ columns:
+    minutes of pure interpreter time in keygen AND prove). Indexable like
+    the old list-of-lists for the host consumers that remain (decode on
+    demand, test-size only)."""
+
+    def __init__(self, nxt: np.ndarray, m: int, n: int, omega: int):
+        self.nxt = nxt
+        self.m = m
+        self.n = n
+        from ...ops import poly as poly_ops
+        from ...ops import field_ops as fo
+        from ...fields.limbs import ints_to_limbs
+
+        om_m = jnp.asarray(ints_to_limbs([omega * (1 << 256) % FR_MOD])[0])
+        self._om_pows = poly_ops.powers_mont(FR_LIMB, om_m, n)
+        delta_pows = [
+            pow(DELTA, j, FR_MOD) * (1 << 256) % FR_MOD for j in range(m)
+        ]
+        self._delta_pows = jnp.asarray(ints_to_limbs(delta_pows)) if m else None
+
+    def col_mont(self, jj: int) -> jnp.ndarray:
+        from ...ops import field_ops as fo
+
+        idx = self.nxt[jj * self.n : (jj + 1) * self.n]
+        cj = jnp.asarray(idx // self.n, dtype=jnp.int32)
+        ci = jnp.asarray(idx % self.n, dtype=jnp.int32)
+        return fo.mont_mul(
+            FR_LIMB, self._om_pows[ci], self._delta_pows[cj]
+        )
+
+    def __len__(self):
+        return self.m
+
+    def __getitem__(self, jj: int) -> list:
+        """Host ints (standard form) — test-size consumers only."""
+        std = np.asarray(
+            jnp.asarray(col_from_mont(self.col_mont(jj)))
+        )
+        from ...fields.limbs import limbs_to_ints
+
+        return limbs_to_ints(std)
+
+
+def col_from_mont(arr):
+    from ...ops import field_ops as fo
+
+    return fo.from_mont(FR_LIMB, arr)
 
 
 def keygen(srs: SRS, k: int, circuit: Circuit, instance=None):
@@ -150,7 +186,10 @@ def keygen(srs: SRS, k: int, circuit: Circuit, instance=None):
     fixed_vals = [tables["fixed"][i] for i in range(cs.num_fixed)]
 
     lowmem = os.environ.get("SPT_LOWMEM") == "1"
-    sigma_vals = _sigma_values(_build_next(cs, n), len(cs.perm_columns), n)
+    omega = dom.omega
+    sigma_vals = _SigmaValues(
+        _build_next(cs, n), len(cs.perm_columns), n, omega
+    )
     if lowmem:
         # commit straight from values over the Lagrange-basis SRS (same
         # points — same polynomial, different basis) and defer the coeff
@@ -168,7 +207,17 @@ def keygen(srs: SRS, k: int, circuit: Circuit, instance=None):
             return out
 
         fixed_polys, fixed_coms = None, commit_vals(fixed_vals)
-        sigma_polys, sigma_coms = None, commit_vals(sigma_vals)
+        from ..kzg import kzg_commit_batch as _kcb
+
+        sigma_coms = []
+        for i in range(0, len(sigma_vals), 8):
+            grp = [
+                sigma_vals.col_mont(j)
+                for j in range(i, min(i + 8, len(sigma_vals)))
+            ]
+            sigma_coms.extend(_kcb(srs, grp, basis="lagrange"))
+            del grp
+        sigma_polys = None
     else:
         fixed_polys, fixed_coms = [], []
         for col in fixed_vals:
@@ -178,8 +227,8 @@ def keygen(srs: SRS, k: int, circuit: Circuit, instance=None):
             fixed_coms.append(kzg_commit(srs, coeffs))
 
         sigma_polys, sigma_coms = [], []
-        for col in sigma_vals:
-            coeffs = dom.intt(_to_mont_dev(col))
+        for j in range(len(sigma_vals)):
+            coeffs = dom.intt(sigma_vals.col_mont(j))
             sigma_polys.append(coeffs)
             sigma_coms.append(kzg_commit(srs, coeffs))
 

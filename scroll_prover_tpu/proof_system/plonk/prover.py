@@ -444,7 +444,7 @@ def prove(
         # stream each sigma column from its host values at point of use
         # (the full table is another #perm-columns x 32 MB resident pool
         # at k=20; the coeff forms are built consume-as-you-go later)
-        sigma_at = lambda jj: _encode_mont(pk.sigma_values[jj])
+        sigma_at = lambda jj: pk.sigma_col_mont(jj)
     else:
         sigma_dev = _sigma_dev(pk, n)
         sigma_at = lambda jj: _U(sigma_dev[jj])
@@ -551,7 +551,19 @@ def prove(
         pk.fixed_polys = _intt_consume(dom, fixed_dev)
     if pk.sigma_polys is None:
         pk._sigma_dev = None
-        pk.sigma_polys = _intt_host_cols(dom, pk.sigma_values)
+        g_ = _ntt_group(n)
+        polys_ = []
+        for i_ in range(0, len(pk.sigma_values), g_):
+            grp_ = [
+                pk.sigma_col_mont(j_)
+                for j_ in range(i_, min(i_ + g_, len(pk.sigma_values)))
+            ]
+            if len(grp_) == 1:
+                polys_.append(_P(dom.intt(grp_[0])))
+            else:
+                polys_.extend(_P(e_) for e_ in dom.intt_batch(jnp.stack(grp_)))
+            del grp_
+        pk.sigma_polys = polys_
     # release base-domain value tables before the extended-domain walk: at
     # k=20 every retained (n, 16) array is 64 MB and the 2^22 quotient
     # phase runs within ~256 MB of the 16 GB HBM budget (round-3 OOM)
@@ -693,7 +705,9 @@ def _fixed_dev(pk: ProvingKey, n: int):
 def _sigma_dev(pk: ProvingKey, n: int):
     cache = getattr(pk, "_sigma_dev", None)
     if cache is None:
-        cache = [_P(_encode_mont(col)) for col in pk.sigma_values]
+        cache = [
+            _P(pk.sigma_col_mont(j)) for j in range(len(pk.sigma_values))
+        ]
         pk._sigma_dev = cache
     return cache
 

@@ -114,6 +114,8 @@ class BatchProofInner:
     batch_header: object = None
     blob_bytes: bytes | None = None  # DA payload (verifier recomputes the
     # in-circuit blob-coefficient digest from these bytes)
+    chunk_infos: list = None  # ChunkInfo per aggregated chunk (verifier
+    # re-derives blob payload segments + data-hash binding from these)
 
     @property
     def proof(self) -> bytes:
@@ -134,6 +136,9 @@ class BatchProofV2:
             "blob_bytes": "0x" + self.inner.blob_bytes.hex()
             if self.inner.blob_bytes is not None
             else None,
+            "chunk_infos": [ci.to_json() for ci in self.inner.chunk_infos]
+            if self.inner.chunk_infos is not None
+            else None,
         }
 
     @classmethod
@@ -149,6 +154,11 @@ class BatchProofV2:
                 else None,
                 blob_bytes=bytes.fromhex(d["blob_bytes"][2:])
                 if d.get("blob_bytes")
+                else None,
+                chunk_infos=[
+                    ChunkInfo.from_json(ci) for ci in d["chunk_infos"]
+                ]
+                if d.get("chunk_infos")
                 else None,
             )
         )

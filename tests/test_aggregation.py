@@ -183,3 +183,38 @@ def test_bundle_partitions_header_chaining():
     # a shuffled bundle must break the chain
     bad = [headers[3], headers[5]]
     assert bad[1].parent_batch_hash != bad[0].batch_hash()
+
+
+@pytest.mark.skipif(not os.environ.get("SPT_E2E"), reason="slow ladder e2e (set SPT_E2E=1)")
+def test_batch_verifier_rejects_tampered_blob():
+    """DA binding (VERDICT round-3 item 5 depth): a batch proof whose blob
+    bytes differ from the aggregated chunks' payloads must NOT verify —
+    via the in-circuit coefficient digest AND the payload-segment check."""
+    from tests.test_witness_ccc import synthetic_trace
+    from scroll_prover_tpu.integration import (
+        get_blob_from_chunks, prove_and_verify_batch, prove_and_verify_chunk,
+    )
+    from scroll_prover_tpu.prover import BatchProver, BatchVerifier
+    from scroll_prover_tpu.prover.tasks import BatchProvingTask
+
+    params = {}
+    chunk_proof = prove_and_verify_chunk(params, "", [synthetic_trace()], "c0")
+    infos = [chunk_proof.inner.chunk_info()]
+    blob = get_blob_from_chunks(infos)
+    header = BatchHeader.construct_from_chunks(4, 0, 0, 0, b"\x00" * 32, 5, infos, blob)
+    task = BatchProvingTask([chunk_proof], header, blob)
+    proof = prove_and_verify_batch(params, "", task)
+    bv = BatchVerifier.from_params_and_assets(params, "")
+    assert bv.verify_batch_proof(proof)
+    # tamper one payload byte (past the envelope+metadata)
+    bad = bytearray(proof.inner.blob_bytes)
+    bad[1 + 2 + 4 * 45 + 3] ^= 1
+    proof.inner.blob_bytes = bytes(bad)
+    assert not bv.verify_batch_proof(proof), "tampered blob accepted"
+    proof.inner.blob_bytes = blob
+    assert bv.verify_batch_proof(proof)
+    # tamper a declared chunk payload (blob untouched): segment check fires
+    proof.inner.chunk_infos[0].tx_bytes = (
+        b"\x00" + bytes(proof.inner.chunk_infos[0].tx_bytes)[1:]
+    )
+    assert not bv.verify_batch_proof(proof), "mismatched chunk payload accepted"
