@@ -198,10 +198,12 @@ def keygen(srs: SRS, k: int, circuit: Circuit, instance=None):
         # holds ~7 GB/form, and keygen must not leave both resident
         from ..kzg import kzg_commit_batch
 
+        cb = int(os.environ.get("SPT_COMMIT_BATCH", "8"))
+
         def commit_vals(cols):
             out = []
-            for i in range(0, len(cols), 8):
-                grp = [_to_mont_dev(c) for c in cols[i : i + 8]]
+            for i in range(0, len(cols), cb):
+                grp = [_to_mont_dev(c) for c in cols[i : i + cb]]
                 out.extend(kzg_commit_batch(srs, grp, basis="lagrange"))
                 del grp
             return out
@@ -210,10 +212,10 @@ def keygen(srs: SRS, k: int, circuit: Circuit, instance=None):
         from ..kzg import kzg_commit_batch as _kcb
 
         sigma_coms = []
-        for i in range(0, len(sigma_vals), 8):
+        for i in range(0, len(sigma_vals), cb):
             grp = [
                 sigma_vals.col_mont(j)
-                for j in range(i, min(i + 8, len(sigma_vals)))
+                for j in range(i, min(i + cb, len(sigma_vals)))
             ]
             sigma_coms.extend(_kcb(srs, grp, basis="lagrange"))
             del grp

@@ -91,6 +91,27 @@ def _U(x):
     return fo.unpack_limbs(x) if x.shape[-1] == _NL // 2 else x
 
 
+class _LazyPoly:
+    """Deferred coefficient column: materialized (packed) on demand and
+    immediately droppable — phase 4-6 of a production k=20 prove would
+    otherwise hold ~560 columns x 32 MB of coeff forms resident (sigma,
+    lookup-permuted and fixed columns are cheap to rebuild: a device
+    gather+mul, a host-cached packed value + one NTT)."""
+
+    __slots__ = ("fn",)
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def get(self):
+        return self.fn()
+
+
+def _R(pol):
+    """Resolve a possibly-lazy poly handle to its (packed) device array."""
+    return pol.get() if isinstance(pol, _LazyPoly) else pol
+
+
 def _decode_mont(arr, count: int | None = None) -> list[int]:
     """(n, L) Montgomery device array -> host ints (standard form).
 
@@ -296,7 +317,9 @@ def prove(
 
     # --- device value tables (base domain, Montgomery form) ---------------
     advice_dev = [_P(_encode_mont(col)) for col in advice_vals]
-    fixed_dev = _fixed_dev(pk, n)
+    # lowmem: fixed tables are not touched until the lookup phase — defer
+    # their 3.6 GB (packed, production width) past the phase-1 MSM burst
+    fixed_dev = None if _LOWMEM else _fixed_dev(pk, n)
     inst_dev = [_P(_encode_mont([int(v) for v in inst[i]])) for i in range(cs.num_instance)]
     if _PACK:
         # pack the keygen outputs resident for this prove (idempotent;
@@ -328,13 +351,17 @@ def prove(
         )
 
     def _commit_cols(polys, basis: str = "monomial"):
-        """Commit packed columns in groups of <= 8, unpacking transiently
-        (the batch MSM cap is 8 columns anyway)."""
+        """Commit packed columns in groups (default 8), unpacking
+        transiently. SPT_COMMIT_BATCH bounds the group: the batched MSM's
+        digit/sign/lane-table transients are ~350 MB per column at 2^20 —
+        with ~11 GB of packed value tables resident, the k=20 production
+        prove OOMs at 8 and fits at 2-4."""
+        cb = int(os.environ.get("SPT_COMMIT_BATCH", "8"))
         out = []
-        for i in range(0, len(polys), 8):
+        for i in range(0, len(polys), cb):
             out.extend(
                 kzg_commit_batch(
-                    srs, [_U(p) for p in polys[i : i + 8]], basis=basis
+                    srs, [_U(p) for p in polys[i : i + cb]], basis=basis
                 )
             )
         return out
@@ -355,6 +382,9 @@ def prove(
 
     _mark("advice committed")
     theta = tr.squeeze_challenge()
+    if fixed_dev is None:
+        fixed_dev = _fixed_dev(pk, n)
+        vals_dev["fixed"] = fixed_dev
 
     # --- phase 2: lookups -------------------------------------------------
     # compressed input/table columns: theta-Horner over expressions,
@@ -531,39 +561,47 @@ def prove(
         lookup_z_polys = _intt_consume(dom, lookup_z_devs)
         random_poly = dom.intt(rand_vals)
         rand_vals = None
-        lk_perm_vals = [
-            d for lk in lookups for d in (lk["a_perm_dev"], lk["s_perm_dev"])
-        ]
         for lk in lookups:
             lk.pop("a_perm_dev", None)
             lk.pop("s_perm_dev", None)
-        lk_polys = _intt_consume(dom, lk_perm_vals)
-        del lk_perm_vals
-        for i, lk in enumerate(lookups):
-            lk["a_poly"] = lk_polys[2 * i]
-            lk["s_poly"] = lk_polys[2 * i + 1]
+        # lookup-permuted coeff columns stay LAZY: rebuilt from the host
+        # value lists on each use (one encode+NTT) instead of holding
+        # 2 x #lookups x 32 MB across phases 4-6
+        for lk in lookups:
+            lk["a_poly"] = _LazyPoly(
+                lambda lk=lk: dom.intt(_encode_mont(lk["a_perm"]))
+            )
+            lk["s_poly"] = _LazyPoly(
+                lambda lk=lk: dom.intt(_encode_mont(lk["s_perm"]))
+            )
     if pk.fixed_polys is None:
-        # lowmem keygen committed fixed/sigma in the Lagrange basis and
-        # left the coeff forms to the first prove (consumed in place
-        # from the same value tables phases 1-3 just used — the cache
-        # entries are nulled as each coeff column materializes)
+        # lowmem keygen committed fixed/sigma in the Lagrange basis; the
+        # coeff forms stay LAZY here too — the packed standard-form value
+        # bytes live in HOST RAM (one-time conversion of the device value
+        # tables phases 1-3 used) and each use pays one h2d + to_mont +
+        # NTT instead of 116 columns resident
+        np_cache = []
+        for col in pk.fixed_values:
+            arr = ints_to_limbs([int(v) % FR_MOD for v in col])  # (n, 16)
+            np_cache.append(arr[:, 0::2] | (arr[:, 1::2] << np.uint32(16)))
+        pk._fixed_np = np_cache
         pk._fixed_dev = None
-        pk.fixed_polys = _intt_consume(dom, fixed_dev)
+
+        def _fixed_lazy(j):
+            def build():
+                v = fo.unpack_limbs(jnp.asarray(pk._fixed_np[j]))
+                return dom.intt(fo.to_mont(F, v))
+
+            return _LazyPoly(build)
+
+        pk.fixed_polys = [_fixed_lazy(j) for j in range(len(fixed_dev))]
     if pk.sigma_polys is None:
         pk._sigma_dev = None
-        g_ = _ntt_group(n)
-        polys_ = []
-        for i_ in range(0, len(pk.sigma_values), g_):
-            grp_ = [
-                pk.sigma_col_mont(j_)
-                for j_ in range(i_, min(i_ + g_, len(pk.sigma_values)))
-            ]
-            if len(grp_) == 1:
-                polys_.append(_P(dom.intt(grp_[0])))
-            else:
-                polys_.extend(_P(e_) for e_ in dom.intt_batch(jnp.stack(grp_)))
-            del grp_
-        pk.sigma_polys = polys_
+        # sigma coeffs LAZY: a device gather+mul + one NTT per use
+        pk.sigma_polys = [
+            _LazyPoly(lambda j=j: dom.intt(pk.sigma_col_mont(j)))
+            for j in range(len(pk.sigma_values))
+        ]
     # release base-domain value tables before the extended-domain walk: at
     # k=20 every retained (n, 16) array is 64 MB and the 2^22 quotient
     # phase runs within ~256 MB of the 16 GB HBM budget (round-3 OOM)
@@ -639,7 +677,7 @@ def prove(
         if pt not in pw_tables:
             pw_tables[pt] = _coset_x_outer(1, 1, n, dom.k, base=pt)
     ev_dev = [
-        poly_ops.eval_poly_with_powers(F, _U(p), pw_tables[pt])
+        poly_ops.eval_poly_with_powers(F, _U(_R(p)), pw_tables[pt])
         for p, pt, _ in plan5
     ]
     ev_vals = F.decode(np.asarray(jnp.stack(ev_dev)))
@@ -666,7 +704,10 @@ def prove(
         from .multiopen import query_labels, shplonk_open
 
         labels = query_labels(qs, m, len(chunks), len(lookups))
-        queries = [(_U(p), pt, val) for (p, pt, val) in queries]
+        queries = [
+            (p if isinstance(p, _LazyPoly) else _U(p), pt, val)
+            for (p, pt, val) in queries
+        ]
         shplonk_open(
             srs, queries, labels, v_ch, tr, kzg_commit, _mont_scalar,
             _encode_mont,
@@ -681,7 +722,7 @@ def prove(
             points_order.append(point)
     wit_polys = []
     for point in points_order:
-        group = [(_U(p), val) for (p, pt, val) in queries if pt == point]
+        group = [(p, val) for (p, pt, val) in queries if pt == point]
         comb = _combine(group, v_ch)
         wit_polys.append(poly_ops.kzg_quotient_mont(F, comb, _mont_scalar(point)))
     for c in kzg_commit_batch(srs, wit_polys):
@@ -720,7 +761,10 @@ def _combine(group, v_ch):
     ~27 s at k=20 with ~25 polys per point, round-3 phase log). The stack
     is CHUNKED to bound the working set: a 450-query point at k=20 would
     otherwise stack 28 GB (the production super circuit hit this)."""
-    maxlen = max(p.shape[0] for p, _ in group)
+    maxlen = max(
+        (p.shape[0] if not isinstance(p, _LazyPoly) else 0)
+        for p, _ in group
+    ) or group and _R(group[0][0]).shape[0]
     batch = max(1, _NTT_BATCH_BUDGET // max(maxlen, 1))
     vpows, vp = [], 1
     for _ in group:
@@ -731,6 +775,7 @@ def _combine(group, v_ch):
         chunk = group[b0 : b0 + batch]
         padded = []
         for polyc, _ in chunk:
+            polyc = _U(_R(polyc))
             if polyc.shape[0] < maxlen:
                 pad = jnp.zeros(
                     (maxlen - polyc.shape[0], polyc.shape[1]), jnp.uint32
@@ -963,7 +1008,7 @@ def _quotient_full(
     def ext(polyc, tag):
         if tag in cache:
             return cache[tag]
-        polyc = _U(polyc)
+        polyc = _U(_R(polyc))
         pad = jnp.zeros((ext_n - polyc.shape[0], polyc.shape[1]), jnp.uint32)
         e = dom.ntt_extended(jnp.concatenate([polyc, pad]))
         cache[tag] = e
@@ -983,9 +1028,11 @@ def _quotient_full(
                 [
                     jnp.concatenate(
                         [
-                            _U(p),
+                            _U(_R(p)),
                             jnp.zeros(
-                                (ext_n - p.shape[0], _U(p).shape[1]), jnp.uint32
+                                (ext_n - _U(_R(p)).shape[0],
+                                 _U(_R(p)).shape[1]),
+                                jnp.uint32,
                             ),
                         ]
                     )
@@ -1114,9 +1161,9 @@ def _quotient_cosets(
             grp = prefill[i : i + g]
             if len(grp) == 1:
                 t_, p_ = grp[0]
-                cache[t_] = _P(dom.ntt(fo.mont_mul_big(F, _U(p_), scale)))
+                cache[t_] = _P(dom.ntt(fo.mont_mul_big(F, _U(_R(p_)), scale)))
             else:
-                stacked = jnp.stack([_U(p_) for _, p_ in grp])
+                stacked = jnp.stack([_U(_R(p_)) for _, p_ in grp])
                 scaled = fo.mont_mul_big(
                     F, stacked, jnp.broadcast_to(scale, stacked.shape)
                 )
@@ -1126,7 +1173,7 @@ def _quotient_cosets(
         def col(polyc, tag):
             if tag in cache:
                 return _U(cache[tag])
-            e = dom.ntt(fo.mont_mul_big(F, _U(polyc), scale))
+            e = dom.ntt(fo.mont_mul_big(F, _U(_R(polyc)), scale))
             if cache_cap is None or len(cache) < cache_cap:
                 cache[tag] = _P(e)
             return e
