@@ -9,16 +9,29 @@ import sys; sys.path.insert(0,'/root/repo'); sys.path.insert(0,'/root/repo/tests
 logging.basicConfig(level=logging.INFO, format='%(asctime)s %(message)s')
 t0=time.time()
 def mark(m): print(f'[{time.time()-t0:7.1f}s] {m}', flush=True)
-from test_witness_ccc import synthetic_trace
 from scroll_prover_tpu.integration import (get_blob_from_chunks,
     prove_and_verify_batch, prove_and_verify_bundle, prove_and_verify_chunk)
+# default: REAL mainnet fixture chunk (SPT_E2E_SYNTHETIC=1 for the fast
+# synthetic trace; scripts/make_release.py is the production-scale run)
+if os.environ.get('SPT_E2E_SYNTHETIC'):
+    from test_witness_ccc import synthetic_trace
+    _traces = [synthetic_trace()]
+else:
+    import glob as _glob
+    from scroll_prover_tpu.l2types.block_trace import get_block_trace_from_file
+    _fix = os.environ.get(
+        'SPT_E2E_FIXTURE',
+        '/root/reference/integration/tests/extra_traces/batch_25/chunk_112')
+    _files = sorted(_glob.glob(os.path.join(_fix, 'block_*.json')),
+                    key=lambda p: int(p.split('block_')[1].split('.')[0]))
+    _traces = [get_block_trace_from_file(f) for f in _files]
 from scroll_prover_tpu.aggregator import BatchHeader
 from scroll_prover_tpu.prover.tasks import BatchProvingTask, BundleProvingTask
 from scroll_prover_tpu.prover import BatchProver
 import tempfile
 params = {}
 mark('chunk proving...')
-chunk_proof = prove_and_verify_chunk(params, "", [synthetic_trace()], "c0")
+chunk_proof = prove_and_verify_chunk(params, "", _traces, "c0")
 mark('chunk proof verified')
 infos = [chunk_proof.inner.chunk_info()]
 blob = get_blob_from_chunks(infos)

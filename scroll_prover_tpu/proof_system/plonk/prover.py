@@ -423,12 +423,18 @@ def prove(
         lk["s_perm_dev"] = _P(_encode_mont(lk["s_perm"]))
     if _LOWMEM:
         # Lagrange-basis commits from values; coeff forms deferred to the
-        # post-phase-3 conversion (same points, same transcript bytes)
+        # post-phase-3 conversion (same points, same transcript bytes).
+        # The permuted-column devices are DROPPED right after the commit
+        # (phase 3 re-encodes them from the host lists): ~2 GB at the
+        # production width, and phase 2's peak is what OOMed try3
         for c in _commit_cols(
             [d for lk in lookups for d in (lk["a_perm_dev"], lk["s_perm_dev"])],
             basis="lagrange",
         ):
             tr.write_point(c)
+        for lk in lookups:
+            lk.pop("a_perm_dev", None)
+            lk.pop("s_perm_dev", None)
     else:
         lk_polys = _intt_cols(
             dom,
@@ -518,11 +524,20 @@ def prove(
             fo.add_mod(F, a_d, beta_b),
             fo.add_mod(F, s_d, gamma_b),
         )
+        ap_d = (
+            _U(lk["a_perm_dev"]) if "a_perm_dev" in lk
+            else _encode_mont(lk["a_perm"])
+        )
+        sp_d = (
+            _U(lk["s_perm_dev"]) if "s_perm_dev" in lk
+            else _encode_mont(lk["s_perm"])
+        )
         den = fo.mont_mul(
             F,
-            fo.add_mod(F, _U(lk["a_perm_dev"]), beta_b),
-            fo.add_mod(F, _U(lk["s_perm_dev"]), gamma_b),
+            fo.add_mod(F, ap_d, beta_b),
+            fo.add_mod(F, sp_d, gamma_b),
         )
+        del ap_d, sp_d
         z, _ = grand_product(num, den, one_sc)
         lookup_z_devs.append(with_blinding(z, f"lkz{li}"))
 
