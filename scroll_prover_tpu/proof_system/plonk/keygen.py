@@ -198,7 +198,14 @@ def keygen(srs: SRS, k: int, circuit: Circuit, instance=None):
         # holds ~7 GB/form, and keygen must not leave both resident
         from ..kzg import kzg_commit_batch
 
-        cb = int(os.environ.get("SPT_COMMIT_BATCH", "8"))
+        # keygen's resident set is tiny (one commit group + the SRS), so
+        # it can batch wider than the prove (whose value tables crowd HBM)
+        cb = int(
+            os.environ.get(
+                "SPT_KEYGEN_COMMIT_BATCH",
+                os.environ.get("SPT_COMMIT_BATCH", "8"),
+            )
+        )
 
         def commit_vals(cols):
             out = []

@@ -418,24 +418,22 @@ def prove(
         else:
             entry["a_dev"], entry["s_dev"] = a_dev, s_dev
         lookups.append(entry)
-    for lk in lookups:
-        lk["a_perm_dev"] = _P(_encode_mont(lk["a_perm"]))
-        lk["s_perm_dev"] = _P(_encode_mont(lk["s_perm"]))
     if _LOWMEM:
         # Lagrange-basis commits from values; coeff forms deferred to the
         # post-phase-3 conversion (same points, same transcript bytes).
-        # The permuted-column devices are DROPPED right after the commit
-        # (phase 3 re-encodes them from the host lists): ~2 GB at the
-        # production width, and phase 2's peak is what OOMed try3
-        for c in _commit_cols(
-            [d for lk in lookups for d in (lk["a_perm_dev"], lk["s_perm_dev"])],
-            basis="lagrange",
-        ):
-            tr.write_point(c)
+        # ONE permuted column is device-resident at a time — encoded,
+        # committed, dropped (the full set is ~2 GB at production width;
+        # phase 3 re-encodes what it needs from the host lists)
         for lk in lookups:
-            lk.pop("a_perm_dev", None)
-            lk.pop("s_perm_dev", None)
+            for key_host in ("a_perm", "s_perm"):
+                d = _P(_encode_mont(lk[key_host]))
+                for c in _commit_cols([d], basis="lagrange"):
+                    tr.write_point(c)
+                del d
     else:
+        for lk in lookups:
+            lk["a_perm_dev"] = _P(_encode_mont(lk["a_perm"]))
+            lk["s_perm_dev"] = _P(_encode_mont(lk["s_perm"]))
         lk_polys = _intt_cols(
             dom,
             [d for lk in lookups for d in (lk["a_perm_dev"], lk["s_perm_dev"])],
@@ -449,6 +447,17 @@ def prove(
     _mark("lookups committed")
     beta = tr.squeeze_challenge()
     gamma = tr.squeeze_challenge()
+    if _LOWMEM:
+        # fixed value tables served their last broad use (lookup
+        # compression); keep only the permutation-queried columns resident
+        # — phase 3's lookup numerators re-encode from the host a/s value
+        # lists, and the coeff forms are lazy over pk._fixed_np
+        _perm_fixed = {
+            c.index for c in cs.perm_columns if c.kind == "fixed"
+        }
+        for _i in range(len(fixed_dev)):
+            if _i not in _perm_fixed:
+                fixed_dev[_i] = None
 
     # --- phase 3: grand products (device scans + batched inversion) -------
     beta_b = _bcast(_mont_scalar(beta), n)
@@ -513,10 +522,11 @@ def prove(
     one_sc = fo.one_mont(F)
     for li, lk in enumerate(lookups):
         if _LOWMEM:
-            # recompute the compressed a/s columns from the still-resident
-            # value tables (cheaper than keeping 2 columns per lookup)
-            a_d = compress_dev(cs.lookups[li].inputs)
-            s_d = compress_dev(cs.lookups[li].tables)
+            # re-encode the compressed a/s columns from the host value
+            # lists captured in phase 2 (the fixed tables their
+            # expressions reference were released after the commits)
+            a_d = _encode_mont(lk["a"])
+            s_d = _encode_mont(lk["s"])
         else:
             a_d, s_d = _U(lk["a_dev"]), _U(lk["s_dev"])
         num = fo.mont_mul(
