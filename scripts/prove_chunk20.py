@@ -80,6 +80,7 @@ def main() -> None:
         os.environ.setdefault("SPT_COSET_CACHE_COLS", "40")
         os.environ.setdefault("SPT_COMMIT_BATCH", "1")
         os.environ.setdefault("SPT_KEYGEN_COMMIT_BATCH", "6")
+        os.environ.setdefault("SPT_NTT_BATCH_BUDGET", str(1 << 21))
         os.environ.setdefault("SPT_BUILDER_LANES", "4")
         os.environ.setdefault("SPT_BUILDER_LOOKUP_COLS", "16")
         os.environ.setdefault("SPT_KECCAK_CAP", "1000000")

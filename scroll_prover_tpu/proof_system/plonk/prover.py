@@ -112,6 +112,20 @@ def _R(pol):
     return pol.get() if isinstance(pol, _LazyPoly) else pol
 
 
+def _free(*arrs):
+    """Force device-buffer deletion (PjRt defers the actual free until
+    pending ops that consume the buffer retire, so this is safe to call
+    right after enqueueing the consumer). Python refcount alone leaves
+    frees at the mercy of deferred client GC on the tunneled backend —
+    the k=20 prove OOMed with ~6 GB of logically-dropped buffers."""
+    for a in arrs:
+        if a is not None and hasattr(a, "delete"):
+            try:
+                a.delete()
+            except Exception:
+                pass
+
+
 def _decode_mont(arr, count: int | None = None) -> list[int]:
     """(n, L) Montgomery device array -> host ints (standard form).
 
@@ -236,13 +250,17 @@ def _intt_consume(dom, cols: list) -> list:
     g = _ntt_group(dom.n)
     for i in range(0, len(cols), g):
         grp = [_U(c) for c in cols[i : i + g]]
-        for j in range(i, min(i + g, len(cols))):
-            cols[j] = None
         if len(grp) == 1:
             out.append(_P(dom.intt(grp[0])))
         else:
             out.extend(_P(e) for e in dom.intt_batch(jnp.stack(grp)))
+        for j in range(i, min(i + g, len(cols))):
+            _free(cols[j])
+            cols[j] = None
         del grp
+        # drain the dispatch queue so retired source buffers actually free
+        if out:
+            np.asarray(out[-1][0, 0])
     return out
 
 
@@ -429,6 +447,7 @@ def prove(
                 d = _P(_encode_mont(lk[key_host]))
                 for c in _commit_cols([d], basis="lagrange"):
                     tr.write_point(c)
+                _free(d)
                 del d
     else:
         for lk in lookups:
@@ -457,6 +476,7 @@ def prove(
         }
         for _i in range(len(fixed_dev)):
             if _i not in _perm_fixed:
+                _free(fixed_dev[_i])
                 fixed_dev[_i] = None
 
     # --- phase 3: grand products (device scans + batched inversion) -------
@@ -517,6 +537,9 @@ def prove(
             )
         z, last_z = grand_product(num, den, last_z)
         perm_z_devs.append(with_blinding(z, f"permz{len(perm_z_devs)}"))
+        # bound the async queue: each chunk's num/den graph holds ~10
+        # column-sized intermediates until it retires
+        np.asarray(perm_z_devs[-1][0, 0])
 
     lookup_z_devs = []
     one_sc = fo.one_mont(F)
@@ -630,10 +653,14 @@ def prove(
     # release base-domain value tables before the extended-domain walk: at
     # k=20 every retained (n, 16) array is 64 MB and the 2^22 quotient
     # phase runs within ~256 MB of the 16 GB HBM budget (round-3 OOM)
+    for _pool in (advice_dev, fixed_dev, inst_dev, perm_z_devs, lookup_z_devs):
+        if _pool:
+            _free(*_pool)
     vals_dev = advice_dev = inst_dev = fixed_dev = None
     perm_z_devs = lookup_z_devs = None
     for lk in lookups:
         for key in ("a_dev", "s_dev", "a_perm_dev", "s_perm_dev"):
+            _free(lk.get(key))
             lk.pop(key, None)
     h_chunk_polys = _build_quotient(
         pk, dom, cs, advice_polys, [p for p in pk.fixed_polys],
