@@ -113,17 +113,30 @@ def _R(pol):
 
 
 def _free(*arrs):
-    """Force device-buffer deletion (PjRt defers the actual free until
-    pending ops that consume the buffer retire, so this is safe to call
-    right after enqueueing the consumer). Python refcount alone leaves
-    frees at the mercy of deferred client GC on the tunneled backend —
-    the k=20 prove OOMed with ~6 GB of logically-dropped buffers."""
-    for a in arrs:
-        if a is not None and hasattr(a, "delete"):
-            try:
-                a.delete()
-            except Exception:
-                pass
+    """Reference-drop marker. MEASURED on the axon backend: plain
+    refcount drops DO return HBM to the allocator, but Array.delete()
+    LEAKS the buffer permanently (a 6 GB delete probe reclaimed zero
+    bytes; the same drop via refcount reclaimed all of it plus
+    headroom). So this intentionally does nothing beyond documenting the
+    drop site — callers null their references right after."""
+    return None
+
+
+def _hbm_probe(tag: str) -> None:
+    """SPT_MEM_PROBE=1: log free HBM by greedy 256 MB allocation (the
+    axon backend exposes no memory_stats)."""
+    if os.environ.get("SPT_MEM_PROBE") != "1":
+        return
+    bufs = []
+    try:
+        for _ in range(64):
+            b = jnp.ones((1 << 26,), jnp.uint32)
+            np.asarray(b[0])
+            bufs.append(b)
+    except Exception:
+        pass
+    log.info("hbm_probe[%s] ~%.1f GB free", tag, len(bufs) * 0.25)
+    del bufs
 
 
 def _decode_mont(arr, count: int | None = None) -> list[int]:
@@ -399,6 +412,7 @@ def prove(
             tr.write_point(c)
 
     _mark("advice committed")
+    _hbm_probe("after_phase1")
     theta = tr.squeeze_challenge()
     if fixed_dev is None:
         fixed_dev = _fixed_dev(pk, n)
@@ -596,6 +610,7 @@ def prove(
 
     # --- phase 4: vanishing / quotient ------------------------------------
     _mark("grand products committed")
+    _hbm_probe("after_phase3")
     y = tr.squeeze_challenge()
 
     instance_polys = _intt_cols(dom, inst_dev)
@@ -662,6 +677,7 @@ def prove(
         for key in ("a_dev", "s_dev", "a_perm_dev", "s_perm_dev"):
             _free(lk.get(key))
             lk.pop(key, None)
+    _hbm_probe("before_quotient")
     h_chunk_polys = _build_quotient(
         pk, dom, cs, advice_polys, [p for p in pk.fixed_polys],
         instance_polys,
