@@ -80,7 +80,11 @@ def main() -> None:
         os.environ.setdefault("SPT_COSET_CACHE_COLS", "40")
         os.environ.setdefault("SPT_COMMIT_BATCH", "1")
         os.environ.setdefault("SPT_KEYGEN_COMMIT_BATCH", "6")
-        os.environ.setdefault("SPT_NTT_BATCH_BUDGET", str(1 << 21))
+        # group=1: every NTT dispatch allocates at uniform 64 MB
+        # granularity — mixed-size batches fragment the tunnel backend's
+        # arena (free space stops being contiguous; try5/try7 OOMed on
+        # modest allocations with ~6 GB logically free)
+        os.environ.setdefault("SPT_NTT_BATCH_BUDGET", str(1 << 20))
         os.environ.setdefault("SPT_BUILDER_LANES", "4")
         os.environ.setdefault("SPT_BUILDER_LOOKUP_COLS", "16")
         os.environ.setdefault("SPT_KECCAK_CAP", "1000000")

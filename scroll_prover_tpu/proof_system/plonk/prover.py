@@ -412,7 +412,6 @@ def prove(
             tr.write_point(c)
 
     _mark("advice committed")
-    _hbm_probe("after_phase1")
     theta = tr.squeeze_challenge()
     if fixed_dev is None:
         fixed_dev = _fixed_dev(pk, n)
@@ -610,7 +609,6 @@ def prove(
 
     # --- phase 4: vanishing / quotient ------------------------------------
     _mark("grand products committed")
-    _hbm_probe("after_phase3")
     y = tr.squeeze_challenge()
 
     instance_polys = _intt_cols(dom, inst_dev)
@@ -677,7 +675,6 @@ def prove(
         for key in ("a_dev", "s_dev", "a_perm_dev", "s_perm_dev"):
             _free(lk.get(key))
             lk.pop(key, None)
-    _hbm_probe("before_quotient")
     h_chunk_polys = _build_quotient(
         pk, dom, cs, advice_polys, [p for p in pk.fixed_polys],
         instance_polys,
