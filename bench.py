@@ -400,11 +400,14 @@ def stage_chunk20() -> float:
     A full run (witness + keygen + prove on the chip) takes longer than
     any driver stage budget, so the measurement is CHECKPOINTED: running
     `python scripts/prove_chunk20.py --prove` mid-round records the
-    per-phase walls plus the proof and vk id under .bench_cache/; this
-    stage re-validates the checkpoint cheaply (re-verifies the committed
-    proof bytes against the recorded vk in outputs/) and reports the
-    recorded prove wall. Returns -1 if no checkpoint exists."""
+    per-phase walls plus the proof bytes/vk id under .bench_cache/ and
+    outputs/. This stage's validation is SHAPE-AND-HASH ONLY (ADVICE
+    round-4): the pairing re-verification happened inside prove_chunk20
+    (record field "verified", asserted there); here we check the recorded
+    sha256 matches the dumped proof bytes, k == 20, and the run verified —
+    a stale or corrupt checkpoint reports -1, not a wall-clock."""
     import glob as _glob
+    import hashlib as _hashlib
 
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "chunk20.json"
@@ -413,19 +416,21 @@ def stage_chunk20() -> float:
         return -1.0
     with open(path) as fh:
         rec = json.load(fh)
-    # cheap re-validation: the dumped proof must exist and be non-trivial
+    if rec.get("k") != 20 or rec.get("verified") is not True:
+        return -1.0
     outs = sorted(
         _glob.glob(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "outputs", "chunk20_*", "proof.hex")
         )
     )
-    if not outs or rec.get("k") != 20:
-        return -1.0
-    with open(outs[-1]) as fh:
-        if len(fh.read().strip()) < 1000:
-            return -1.0
-    return float(rec["chunk_inner_wall_s"])
+    want = rec.get("proof_sha256")
+    for p in outs[::-1]:
+        with open(p) as fh:
+            proof = bytes.fromhex(fh.read().strip())
+        if want and _hashlib.sha256(proof).hexdigest() == want:
+            return float(rec["chunk_inner_wall_s"])
+    return -1.0
 
 
 STAGES = {

@@ -60,6 +60,9 @@ def main() -> None:
     ap.add_argument("--fixture", default=None,
                     help="chunk dir of block_*.json traces")
     args = ap.parse_args()
+    if not (args.mock or args.prove):
+        # fail BEFORE the multi-minute witness build (ADVICE round-4)
+        ap.error("pass --mock or --prove")
 
     # shape env BEFORE importing the circuit modules
     os.environ["SPT_INNER_K"] = str(args.k)
@@ -102,10 +105,14 @@ def main() -> None:
     from scroll_prover_tpu.witness.block import chunk_trace_to_witness_block
 
     fixture = args.fixture or (FIXTURE_PROVE if args.prove else FIXTURE)
-    files = sorted(
-        glob.glob(os.path.join(fixture, "*.json")),
-        key=lambda p: int(p.split("block_")[-1].split(".")[0].split("/")[-1]),
-    )
+
+    def _blocknum(p: str) -> int:
+        # block_<n>.json (most fixtures) or bare <n>.json (batch_5/chunk_5)
+        stem = os.path.basename(p).rsplit(".", 1)[0]
+        digits = stem.split("block_")[-1]
+        return int(digits) if digits.isdigit() else 0
+
+    files = sorted(glob.glob(os.path.join(fixture, "*.json")), key=_blocknum)
     traces = [get_block_trace_from_file(f) for f in files]
     wb = chunk_trace_to_witness_block(traces)
     n_sigs = len(wb.sig_events())
@@ -151,6 +158,7 @@ def main() -> None:
         return
 
     if args.prove:
+        import hashlib
         import logging
 
         logging.basicConfig(
@@ -162,19 +170,44 @@ def main() -> None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         from scroll_prover_tpu.proof_system import kzg
+        from scroll_prover_tpu.proof_system.plonk.checkpoint import ProveCheckpoint
         from scroll_prover_tpu.proof_system.plonk.keygen import keygen
         from scroll_prover_tpu.proof_system.plonk.prover import prove as plonk_prove
         from scroll_prover_tpu.proof_system.plonk.verifier import verify as plonk_verify
+
+        # checkpoint + assignment cache: a tunnel drop or OOM costs one
+        # phase unit, not the whole multi-hour run (plonk/checkpoint.py).
+        # The fingerprint pins fixture/k/caps/builder shape — any change
+        # wipes stale state.
+        shape_env = {
+            k_: os.environ.get(k_, "")
+            for k_ in (
+                "SPT_SIG_CAP", "SPT_KECCAK_CAP", "SPT_MPT_CAP", "SPT_ECC_CAP",
+                "SPT_MODEXP_CAP", "SPT_SHA256_CAP", "SPT_BUILDER_LANES",
+                "SPT_BUILDER_LOOKUP_COLS",
+            )
+        }
+        fp = hashlib.sha256(
+            json.dumps([fixture, args.k, shape_env], sort_keys=True).encode()
+        ).hexdigest()[:16]
+        cache_root = os.path.join(REPO, ".bench_cache")
+        ckpt = ProveCheckpoint(
+            os.path.join(cache_root, f"chunk20_ckpt_{fp}"), fingerprint=fp
+        )
+        os.environ["SPT_ASSIGN_CACHE"] = os.path.join(
+            cache_root, f"assign_{fp}"
+        )
+        _log(f"checkpoint dir {ckpt.dir}", t0)
 
         t_srs = time.time()
         srs = kzg.SRS.generate_fast(args.k)
         _log(f"SRS 2^{args.k} synthesized on device ({time.time()-t_srs:.1f}s)", t0)
         t_kg = time.time()
-        pk, vk = keygen(srs, args.k, circuit, inst)
+        pk, vk = keygen(srs, args.k, circuit, inst, ckpt=ckpt)
         kg_s = time.time() - t_kg
         _log(f"keygen done ({kg_s:.1f}s)", t0)
         t_pr = time.time()
-        proof = plonk_prove(srs, pk, circuit, inst)
+        proof = plonk_prove(srs, pk, circuit, inst, ckpt=ckpt)
         prove_s = time.time() - t_pr
         _log(f"prove done ({prove_s:.1f}s)", t0)
         t_vf = time.time()
@@ -192,7 +225,9 @@ def main() -> None:
             "keygen_wall_s": round(kg_s, 2),
             "chunk_inner_wall_s": round(prove_s, 2),
             "proof_len": len(proof),
+            "proof_sha256": hashlib.sha256(proof).hexdigest(),
             "vk_repr": hex(vk.transcript_repr()),
+            "verified": bool(ok),
             "ts": time.time(),
         }
         os.makedirs(os.path.dirname(CHECKPOINT), exist_ok=True)
@@ -206,6 +241,10 @@ def main() -> None:
             json.dump(record, fh, indent=1)
         with open(os.path.join(outdir, "proof.hex"), "w") as fh:
             fh.write(proof.hex())
+        with open(os.path.join(outdir, "vk_chunk_inner.vkey"), "wb") as fh:
+            fh.write(vk.to_bytes())
+        with open(os.path.join(outdir, "instance.json"), "w") as fh:
+            json.dump([str(v) for v in inst[0]], fh)
         print(json.dumps(record), flush=True)
         return
 

@@ -56,6 +56,68 @@ def limbs_to_ints(arr) -> list[int]:
     return [int.from_bytes(buf[i * 32 : (i + 1) * 32], "little") for i in range(n)]
 
 
+# -- packed host representation ----------------------------------------------
+# (n, 8) uint32 words, two 16-bit limbs per word, value little-endian across
+# words. This is the at-rest form for production-size columns (half the RAM/
+# disk/tunnel bytes of the limb form) and matches ops/field_ops.pack_limbs:
+# word j = limb[2j] | limb[2j+1] << 16. The raw little-endian byte stream of
+# a packed row IS the canonical 32-byte little-endian field encoding.
+
+N_WORDS = N_LIMBS // 2
+
+
+def pack_host(arr16: np.ndarray) -> np.ndarray:
+    """(n, N_LIMBS) u32 limbs -> (n, N_WORDS) u32 packed words (host)."""
+    a = np.asarray(arr16, dtype=np.uint32)
+    return a[..., 0::2] | (a[..., 1::2] << np.uint32(16))
+
+
+def unpack_host(packed: np.ndarray) -> np.ndarray:
+    """(n, N_WORDS) u32 packed -> (n, N_LIMBS) u32 limbs (host)."""
+    p = np.asarray(packed, dtype=np.uint32)
+    out = np.empty(p.shape[:-1] + (N_LIMBS,), np.uint32)
+    out[..., 0::2] = p & np.uint32(0xFFFF)
+    out[..., 1::2] = p >> np.uint32(16)
+    return out
+
+
+def ints_to_packed(xs: Sequence[int]) -> np.ndarray:
+    """Vector of ints -> (n, N_WORDS) packed words."""
+    buf = b"".join(int(x).to_bytes(32, "little") for x in xs)
+    return np.frombuffer(buf, dtype="<u4").reshape(len(xs), N_WORDS).astype(np.uint32)
+
+
+def packed_to_ints(packed: np.ndarray) -> list[int]:
+    """(n, N_WORDS) packed -> list of ints."""
+    p = np.ascontiguousarray(np.asarray(packed, dtype=np.uint32)).astype("<u4")
+    buf = p.tobytes()
+    return [
+        int.from_bytes(buf[i * 32 : (i + 1) * 32], "little")
+        for i in range(p.shape[0])
+    ]
+
+
+def objcol_to_packed(col) -> np.ndarray:
+    """Assignment column (object array / list of ints) -> packed words.
+
+    Fast path: columns whose values all fit int64 (selectors, bytes, small
+    counters — the majority of zkevm assignment columns) convert through
+    one vectorized astype instead of a per-element to_bytes loop."""
+    arr = np.asarray(col, dtype=object)
+    try:
+        small = arr.astype(np.int64)
+    except (OverflowError, TypeError):
+        # canonical reduction mirrors the prover's int(v) % FR_MOD encode
+        return ints_to_packed([int(v) % FR_MOD for v in col])
+    if (small < 0).any():
+        return ints_to_packed([int(v) % FR_MOD for v in col])
+    out = np.zeros((len(col), N_WORDS), np.uint32)
+    u = small.astype(np.uint64)
+    out[:, 0] = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    out[:, 1] = (u >> np.uint64(32)).astype(np.uint32)
+    return out
+
+
 @dataclass(frozen=True, eq=False)  # identity hash: usable as a jit static arg
 class LimbField:
     """Per-field Montgomery constants in limb form, consumed by ops/field_ops."""

@@ -110,7 +110,23 @@ class EcdsaChip:
             for (_bits, s_cell, _e), p in zip(halves, base_pts)
         ]
         rp = ec._msm_from_digits([h[0] for h in halves], pts)
-        # parity-bump corrections: subtract e_i * P_i
+        # parity-bump corrections: subtract e_i * P_i.
+        #
+        # add_unequal is computed even when e_cell = 0 (result discarded by
+        # the select). Soundness is unconditional: add_unequal enforces
+        # dx * inv == 1 (ecc.py), so a malicious witness with x(rp) ==
+        # x(p) has NO satisfying assignment — the gate cannot be abused to
+        # forge a bump. The residual hazard is COMPLETENESS only: an honest
+        # run crashes iff x(rp) == x(±p) at a correction step, i.e. the
+        # partial MSM output lands exactly on the correction point's x.
+        # rp = R' is a deterministic function of (z, r, s, Q) through the
+        # GLV digit decomposition; forcing the collision requires finding a
+        # VALID signature whose verification walk hits a specific x in Fp —
+        # a ~2^-256 event per try with no known structure to grind (the
+        # adversary would need preimage control over x(R') vs x(Q), which
+        # is the ECDLP-hard relation itself). Accepted as cryptographically
+        # unreachable; a complete-add gadget would double the correction
+        # cost for no practical gain (ADVICE round-4 low #2).
         for (_bits, _s, e_cell), p in zip(halves, pts):
             cand = ec.add_unequal(rp, ec.neg(p))
             rp = ec.select(e_cell, cand, rp)  # select keeps canonical limbs

