@@ -663,17 +663,44 @@ class EvmSubCircuit:
 
 
 class StateSubCircuit:
-    """rw table with REAL values and read-consistency: rows sorted by
-    (tag, addr, key, rwc); a read in an existing key group must repeat the
-    previous row's value (reference state-circuit consistency constraint).
-    Key-group detection is sound both ways: per-field is_zero witnesses
-    prove equality AND inequality (inverse witnesses), and `same` is
-    constrained to their product. Full lexicographic-ordering enforcement
-    (limb compare) is the designated next deepening."""
+    """rw table with REAL values, read-consistency AND enforced sort order.
+
+    Rows sorted by (tag, addr, key, rwc); a read in an existing key group
+    must repeat the previous row's value (reference state-circuit
+    consistency constraint). Key-group detection is sound both ways:
+    per-field is_zero witnesses prove equality AND inequality (inverse
+    witnesses), and `same` is constrained to their product.
+
+    Sort-order soundness (ADVICE round-4 medium): adjacent rows are
+    constrained LEXICOGRAPHICALLY in-circuit. Let D be the difference of
+    the first field where the rows differ (selected by the sound eq-flag
+    prefix products), or the rwc difference when all four key fields are
+    equal. The gate pins a witnessed column to D and range-checks
+    D - 1 < 2^(8*N_CHUNKS) via byte/chunk lookups, i.e. D in [1, 2^160]:
+    a genuinely decreasing field difference lands at p - |d| > 2^161 and
+    has no satisfying chunk witness. No a-priori field bounds are needed
+    for GROUP CONTIGUITY: returning to an equal (tag,addr,key) tuple after
+    leaving it would require some field's positive-step walk to wrap mod
+    p, i.e. >= p / 2^160 ~ 2^93 rows — impossible in a 2^20 region. Within
+    a group (same == 1) D = rwc diff, so rwc strictly increases.
+
+    Injection soundness: the region's row count is FIXED at keygen (q is a
+    fixed column), and two lookups force a BIJECTION between the fixed
+    counter column ctr = 1..R and the advice rwc values (coverage: every
+    ctr appears among rwc; range: every rwc is a ctr; R rows and R values
+    => each exactly once). With the witness's globally-consecutive rw
+    counters (witness/block.py RwRow, rwc = len+1), a malicious extra
+    write row would need an rwc already bound by an evm-side rw lookup to
+    a different tuple — the state row at that rwc IS the evm op's row.
+    Group-opening reads remain unconstrained inputs (see the trust-boundary
+    note in configure): they model values produced outside the replayed
+    step window.
+    """
 
     FIELDS = 4  # tag, addr, key_hi, key_lo
+    N_CHUNKS = 20  # byte chunks covering the widest field diff (addr, 160b)
 
-    def configure(self, cs: ConstraintSystem):
+    def configure(self, cs: ConstraintSystem, byte_table=None):
         self.sel = cs.selector()  # rows 1.. of the region (prev row exists)
         self.q = cs.fixed_column()  # every rw row (table-side selector)
         self.rwc = cs.advice_column()
@@ -717,6 +744,50 @@ class StateSubCircuit:
             "state/read_consistent_lo",
             s * sm * rd * (self.v_lo.query() - self.v_lo.query(-1)),
         )
+        # NOTE (trust boundary): a key group MAY open with a read — honest
+        # witnesses contain reads of values produced outside the replayed
+        # step window (e.g. a stack slot pushed by a non-structLog-backed
+        # step). A group-opening read's value is therefore an unconstrained
+        # input, exactly like storageTrace root inputs; every subsequent
+        # in-group access chains from it through read-consistency.
+
+        # --- lexicographic ordering (docstring: sort-order soundness) ----
+        # materialized eq-prefix products keep the first-diff selector
+        # gate at degree <= 4
+        self.p01 = cs.advice_column()
+        self.p012 = cs.advice_column()
+        e0, e1 = self.eq[0].query(), self.eq[1].query()
+        e2, e3 = self.eq[2].query(), self.eq[3].query()
+        cs.gate("state/p01_def", s * (self.p01.query() - e0 * e1))
+        cs.gate("state/p012_def", s * (self.p012.query() - self.p01.query() * e2))
+        self.dcol = cs.advice_column()  # (first-diff value) - 1
+        first_diff = (
+            (1 - e0) * diffs[0]
+            + e0 * (1 - e1) * diffs[1]
+            + self.p01.query() * (1 - e2) * diffs[2]
+            + self.p012.query() * (1 - e3) * diffs[3]
+            + sm * (self.rwc.query() - self.rwc.query(-1))
+        )
+        cs.gate("state/lex_diff_def", s * (self.dcol.query() + 1 - first_diff))
+        self.dbytes = [cs.advice_column() for _ in range(self.N_CHUNKS)]
+        recomp = self.dbytes[0].query()
+        shift = 1
+        for b in self.dbytes[1:]:
+            shift <<= 8
+            recomp = recomp + b.query() * shift
+        cs.gate("state/lex_diff_bytes", s * (self.dcol.query() - recomp))
+        self._byte_table = byte_table
+        if byte_table is not None:
+            for i, b in enumerate(self.dbytes):
+                cs.lookup(
+                    f"state/lex_byte{i}", [s * b.query()], [byte_table.query()]
+                )
+
+        # --- rwc <-> 1..R bijection (docstring: injection soundness) -----
+        self.ctr = cs.fixed_column()
+        q = self.q.query()
+        cs.lookup("state/rwc_coverage", [q * self.ctr.query()], [q * self.rwc.query()])
+        cs.lookup("state/rwc_range", [q * self.rwc.query()], [q * self.ctr.query()])
         return self
 
     def table_exprs(self):
@@ -751,9 +822,11 @@ class StateSubCircuit:
     def assign(self, cs, fixed, adv, n, wb: WitnessBlock, row0: int) -> int:
         rows = sorted(wb.rw_rows, key=lambda r: (r.tag, r.addr, r.key, r.rwc))
         prev = None
+        prev_rwc = None
         r = row0
         for row in rows:
             fixed[self.q.index][r] = 1
+            fixed[self.ctr.index][r] = r - row0 + 1
             adv[self.rwc.index][r] = row.rwc
             adv[self.tag.index][r] = row.tag
             adv[self.addr.index][r] = row.addr
@@ -775,7 +848,29 @@ class StateSubCircuit:
                     )
                     adv[self.eq[f].index][r] = eqs[f]
                 adv[self.same.index][r] = int(all(eqs))
+                adv[self.p01.index][r] = eqs[0] * eqs[1]
+                adv[self.p012.index][r] = eqs[0] * eqs[1] * eqs[2]
+                # first-diff value for the lexicographic gate
+                if not eqs[0]:
+                    dval = cur[0] - prev[0]
+                elif not eqs[1]:
+                    dval = cur[1] - prev[1]
+                elif not eqs[2]:
+                    dval = cur[2] - prev[2]
+                elif not eqs[3]:
+                    dval = cur[3] - prev[3]
+                else:
+                    dval = row.rwc - prev_rwc
+                assert 0 < dval <= 1 << (8 * self.N_CHUNKS), (
+                    f"rw rows out of order at rwc {row.rwc}: diff {dval}"
+                )
+                adv[self.dcol.index][r] = dval - 1
+                rem = dval - 1
+                for b in self.dbytes:
+                    adv[b.index][r] = rem & 0xFF
+                    rem >>= 8
             prev = (row.tag, row.addr, kh, kl)
+            prev_rwc = row.rwc
             r += 1
         return r - row0
 

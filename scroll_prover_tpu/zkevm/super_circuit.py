@@ -154,7 +154,7 @@ class ScrollSuperCircuit(Circuit):
         self.bytecode = BytecodeSubCircuit().configure(
             cs, self.byte_table, self.keccak
         )
-        self.state = StateSubCircuit().configure(cs)
+        self.state = StateSubCircuit().configure(cs, self.byte_table)
         self.evm = EvmSubCircuit().configure(cs, self.bytecode, self.state)
         self.copy = CopySubCircuit().configure(
             cs, self.byte_table, self.bytecode, self.keccak, self.tx

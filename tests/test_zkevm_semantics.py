@@ -249,3 +249,152 @@ def test_tampered_stack_read_rejected(wb):
     circ = ScrollSuperCircuit.new_from_block(wb2)
     mp = MockProver.run(circ.min_k(), circ, circ.instance_for())
     assert mp.verify_par() != [], "tampered stack read accepted"
+
+
+# ---- rw-table sort-order soundness (ADVICE round-4 medium) -----------------
+# These emulate the BEST-EFFORT adversary: not just perturbing an honest
+# witness, but also repairing every helper column the attacker controls —
+# the remaining failures are the ordering constraints themselves biting.
+
+
+def _set_lex_helpers(circ, mp, r, dval):
+    """Adversary repairs dcol/dbytes at row r for claimed first-diff dval
+    (mod p). Returns the previous values for restore."""
+    st = circ.state
+    old = [int(mp.advice[st.dcol.index][r])] + [
+        int(mp.advice[b.index][r]) for b in st.dbytes
+    ]
+    dm1 = (dval - 1) % FR_MOD
+    mp.advice[st.dcol.index][r] = dm1
+    rem = dm1
+    for b in st.dbytes:
+        mp.advice[b.index][r] = rem & 0xFF
+        rem >>= 8
+    return old
+
+
+def _restore_lex_helpers(circ, mp, r, old):
+    st = circ.state
+    mp.advice[st.dcol.index][r] = old[0]
+    for b, v in zip(st.dbytes, old[1:]):
+        mp.advice[b.index][r] = v
+
+
+def test_swapped_rwc_within_group_rejected(mock):
+    """Swapping two in-group rwc values reverses the order the
+    read-consistency chain relies on; the lex gate's range check must
+    reject it for EVERY helper assignment the adversary can choose."""
+    circ, mp = mock
+    st = circ.state
+    same_col = mp.advice[st.same.index]
+    rwc_col = mp.advice[st.rwc.index]
+    sel_col = mp.fixed[st.sel.index]
+    target = next(r for r in range(mp.n) if same_col[r] == 1 and sel_col[r] == 1)
+    ra, rb = target - 1, target
+    old_a, old_b = int(rwc_col[ra]), int(rwc_col[rb])
+    rwc_col[ra], rwc_col[rb] = old_b, old_a
+    # adversary repairs the first-diff witness at rb (now negative diff)
+    # and at rb+1 if it chains
+    repaired = [(rb, _set_lex_helpers(circ, mp, rb, (old_a - old_b) % FR_MOD))]
+    try:
+        failures = mp.verify()
+        assert failures, "reversed in-group rwc order must be rejected"
+        assert any("state/lex" in str(f) for f in failures)
+    finally:
+        rwc_col[ra], rwc_col[rb] = old_a, old_b
+        for r, old in repaired:
+            _restore_lex_helpers(circ, mp, r, old)
+
+
+def test_duplicate_rwc_rejected(mock):
+    """Re-pointing a row's rwc at another row's value (the injection
+    primitive: a shadow write justified at a chosen counter) breaks the
+    ctr <-> rwc bijection lookups."""
+    circ, mp = mock
+    st = circ.state
+    q_col = mp.fixed[st.q.index]
+    rwc_col = mp.advice[st.rwc.index]
+    rows = [r for r in range(mp.n) if q_col[r] == 1]
+    assert len(rows) >= 2
+    ra, rb = rows[0], rows[-1]
+    old = int(rwc_col[rb])
+    rwc_col[rb] = int(rwc_col[ra])  # duplicate counter value
+    # repair the lex witness on rb and its successor as best as possible
+    repaired = []
+    sel_col = mp.fixed[st.sel.index]
+    same_col = mp.advice[st.same.index]
+    if sel_col[rb] == 1 and same_col[rb] == 1:
+        prev = int(rwc_col[rb - 1])
+        repaired.append((rb, _set_lex_helpers(circ, mp, rb, (int(rwc_col[rb]) - prev) % FR_MOD)))
+    try:
+        failures = mp.verify()
+        assert failures, "duplicated rwc must be rejected"
+        assert any("state/rwc_" in str(f) or "state/lex" in str(f) for f in failures)
+    finally:
+        rwc_col[rb] = old
+        for r, o in repaired:
+            _restore_lex_helpers(circ, mp, r, o)
+
+
+def test_group_split_rejected(mock):
+    """Moving a row out of its key group (changing addr so the group is
+    no longer contiguous) must fail even when the adversary repairs every
+    eq/inv/prefix/lex helper on the affected boundaries."""
+    circ, mp = mock
+    st = circ.state
+    same_col = mp.advice[st.same.index]
+    sel_col = mp.fixed[st.sel.index]
+    addr_col = mp.advice[st.addr.index]
+    # find a row inside a group (same==1) whose successor is also in-region
+    target = next(
+        r for r in range(mp.n - 1)
+        if same_col[r] == 1 and sel_col[r] == 1 and sel_col[r + 1] == 1
+    )
+    old_addr = int(addr_col[target])
+    addr_col[target] = old_addr + (1 << 100)  # tear it out of the group
+    saved = {}
+    for rr in (target, target + 1):
+        # adversary recomputes eq flags, inverses, prefix products, same,
+        # and the lex witness for the new (claimed) ordering
+        cur = [int(mp.advice[c.index][rr]) for c in (st.tag, st.addr, st.key_hi, st.key_lo)]
+        prv = [int(mp.advice[c.index][rr - 1]) for c in (st.tag, st.addr, st.key_hi, st.key_lo)]
+        saved[rr] = (
+            [int(mp.advice[st.eq[f].index][rr]) for f in range(4)],
+            [int(mp.advice[st.inv[f].index][rr]) for f in range(4)],
+            int(mp.advice[st.same.index][rr]),
+            int(mp.advice[st.p01.index][rr]),
+            int(mp.advice[st.p012.index][rr]),
+        )
+        eqs = []
+        for f in range(4):
+            d = (cur[f] - prv[f]) % FR_MOD
+            eqs.append(1 if d == 0 else 0)
+            mp.advice[st.eq[f].index][rr] = eqs[f]
+            mp.advice[st.inv[f].index][rr] = pow(d, -1, FR_MOD) if d else 0
+        mp.advice[st.same.index][rr] = int(all(eqs))
+        mp.advice[st.p01.index][rr] = eqs[0] * eqs[1]
+        mp.advice[st.p012.index][rr] = eqs[0] * eqs[1] * eqs[2]
+        dval = None
+        for f in range(4):
+            if not eqs[f]:
+                dval = (cur[f] - prv[f]) % FR_MOD
+                break
+        if dval is None:
+            dval = (int(mp.advice[st.rwc.index][rr]) - int(mp.advice[st.rwc.index][rr - 1])) % FR_MOD
+        saved[rr] = saved[rr] + (_set_lex_helpers(circ, mp, rr, dval),)
+    try:
+        failures = mp.verify()
+        assert failures, "group-splitting addr change must be rejected"
+        # the backwards boundary (target+1 returns to the old addr) has a
+        # negative first-diff => no valid byte decomposition
+        assert any("state/lex" in str(f) for f in failures)
+    finally:
+        addr_col[target] = old_addr
+        for rr, (eqs, invs, sm, p01, p012, lex_old) in saved.items():
+            for f in range(4):
+                mp.advice[st.eq[f].index][rr] = eqs[f]
+                mp.advice[st.inv[f].index][rr] = invs[f]
+            mp.advice[st.same.index][rr] = sm
+            mp.advice[st.p01.index][rr] = p01
+            mp.advice[st.p012.index][rr] = p012
+            _restore_lex_helpers(circ, mp, rr, lex_old)
