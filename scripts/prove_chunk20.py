@@ -187,8 +187,23 @@ def main() -> None:
                 "SPT_BUILDER_LOOKUP_COLS",
             )
         }
+        # the circuit-defining SOURCE is part of the fingerprint: a gate or
+        # column change invalidates cached commitments/assignments even at
+        # identical env shape
+        src_h = hashlib.sha256()
+        zk_dir = os.path.join(REPO, "scroll_prover_tpu", "zkevm")
+        for f in sorted(os.listdir(zk_dir)):
+            if f.endswith(".py"):
+                with open(os.path.join(zk_dir, f), "rb") as fh:
+                    src_h.update(fh.read())
+        for extra in ("witness/block.py", "witness/replay.py",
+                      "proof_system/plonk/cs.py"):
+            with open(os.path.join(REPO, "scroll_prover_tpu", extra), "rb") as fh:
+                src_h.update(fh.read())
         fp = hashlib.sha256(
-            json.dumps([fixture, args.k, shape_env], sort_keys=True).encode()
+            json.dumps(
+                [fixture, args.k, shape_env, src_h.hexdigest()], sort_keys=True
+            ).encode()
         ).hexdigest()[:16]
         cache_root = os.path.join(REPO, ".bench_cache")
         ckpt = ProveCheckpoint(

@@ -744,6 +744,7 @@ def prove(
         for key in ("a_dev", "s_dev", "a_perm_dev", "s_perm_dev"):
             _free(lk.get(key))
             lk.pop(key, None)
+    _hbm_probe("pre-quotient")
     h_chunk_polys = _build_quotient(
         pk, dom, cs, advice_polys, [p for p in pk.fixed_polys],
         instance_polys,
@@ -751,6 +752,7 @@ def prove(
         chunks, theta, beta, gamma, y, u, ckpt=ckpt, _debug=_debug,
     )
     _mark("quotient built")
+    _hbm_probe("post-quotient")
     _p4 = lambda: _commit_cols(h_chunk_polys)
     for c in (_p4() if ckpt is None else ckpt.points("p4_h", _p4)):
         tr.write_point(c)

@@ -177,7 +177,18 @@ class BytecodeSubCircuit:
     index, byte, len) per code byte, byte range-checked; the per-code
     header row (index 0) is looked up in the keccak table, binding the
     claimed hash/length to a real digest event (reference zkevm-circuits
-    bytecode circuit + its keccak lookup)."""
+    bytecode circuit + its keccak lookup).
+
+    Push-immediate accumulators (VERDICT round-4 #6 "push immediates not
+    bound to code bytes", reference bytecode-circuit push_data machinery):
+    pd_left counts down through a push's data bytes, rooted ONLY at a
+    genuine PUSH opcode via the (prev byte, pd_left, is_lo) lookup into a
+    256-row (op, push_len, len<=16) table; acc_hi/acc_lo accumulate the
+    immediate big-endian, switching from hi to lo when pd_left crosses 17.
+    The pd_last row (pd_left == 1) exposes (hash, index, acc_hi, acc_lo)
+    as a table — the evm circuit's PUSH-k step looks up its pushed value
+    at (code_hash, pc + k), making a push value that differs from the
+    real immediate bytes unsatisfiable."""
 
     def configure(self, cs: ConstraintSystem, byte_table, keccak_tbl):
         self.sel = cs.selector()  # continuation within one code blob
@@ -220,6 +231,91 @@ class BytecodeSubCircuit:
             ],
             keccak_tbl.table_exprs(),
         )
+
+        # --- push-data accumulators (class docstring) --------------------
+        self.pd_left = cs.advice_column()
+        self.pd_inv = cs.advice_column()     # is_data = [pd_left != 0]
+        self.is_data = cs.advice_column()
+        self.pd_last = cs.advice_column()    # [pd_left == 1]
+        self.pd1_inv = cs.advice_column()
+        self.is17 = cs.advice_column()       # [pd_left == 17] (hi->lo switch)
+        self.p17_inv = cs.advice_column()
+        self.is_lo = cs.advice_column()
+        self.acc_hi = cs.advice_column()
+        self.acc_lo = cs.advice_column()
+        # push-length fixed table: (op, plen, 1 if 1<=plen<=16 else 0)
+        self.q_ptab = cs.fixed_column()
+        self.t2_op = cs.fixed_column()
+        self.t2_plen = cs.fixed_column()
+        self.t2_plo16 = cs.fixed_column()
+
+        q = self.q_row.query()
+        pd = self.pd_left.query()
+        isd = self.is_data.query()
+        # is_zero gadgets (sound both ways via inverse witnesses)
+        cs.gate("bytecode/pd_isdata_def", q * (isd - pd * self.pd_inv.query()))
+        cs.gate("bytecode/pd_isdata_zero", q * pd * (1 - isd))
+        d1 = pd - 1
+        lastq = self.pd_last.query()
+        cs.gate("bytecode/pd_last_def", q * (lastq - 1 + d1 * self.pd1_inv.query()))
+        cs.gate("bytecode/pd_last_zero", q * d1 * lastq)
+        d17 = pd - 17
+        i17 = self.is17.query()
+        cs.gate("bytecode/pd_is17_def", q * (i17 - 1 + d17 * self.p17_inv.query()))
+        cs.gate("bytecode/pd_is17_zero", q * d17 * i17)
+        ilo = self.is_lo.query()
+        cs.gate("bytecode/is_lo_bool", q * ilo * (ilo - 1))
+        # first code byte is an opcode, and opcode rows carry zeroed accs
+        cs.gate("bytecode/pd_first", self.q_first.query() * pd)
+        cs.gate("bytecode/acc_hi_opcode_zero", q * (1 - isd) * self.acc_hi.query())
+        cs.gate("bytecode/acc_lo_opcode_zero", q * (1 - isd) * self.acc_lo.query())
+        # chain rules anchored at each row against its predecessor
+        sp = self.sel.query(-1)  # predecessor exists within the same blob
+        isd_p = self.is_data.query(-1)
+        last_p = self.pd_last.query(-1)
+        mid_p = isd_p * (1 - last_p)  # predecessor is a NON-final data byte
+        cs.gate(
+            "bytecode/pd_countdown",
+            sp * mid_p * (pd - self.pd_left.query(-1) + 1),
+        )
+        cs.gate("bytecode/pd_end", sp * last_p * isd)
+        cs.gate(
+            "bytecode/is_lo_chain",
+            sp * mid_p * (ilo - self.is_lo.query(-1) - self.is17.query(-1)),
+        )
+        # push root: a data row whose predecessor is an opcode row binds
+        # (prev byte, pd_left, is_lo) to the push-length table — pd chains
+        # can only start at a real PUSH opcode with the right length
+        w = sp * (1 - isd_p) * isd
+        cs.lookup(
+            "bytecode/push_root",
+            [w * self.byte.query(-1), w * pd, w * ilo],
+            [
+                self.q_ptab.query() * self.t2_op.query(),
+                self.q_ptab.query() * self.t2_plen.query(),
+                self.q_ptab.query() * self.t2_plo16.query(),
+            ],
+        )
+        # big-endian accumulation, hi half first
+        byte_q = self.byte.query()
+        g = sp * isd
+        cs.gate(
+            "bytecode/acc_lo_step",
+            g * ilo * (self.acc_lo.query() - 256 * self.acc_lo.query(-1) - byte_q),
+        )
+        cs.gate(
+            "bytecode/acc_hi_hold",
+            g * ilo * (self.acc_hi.query() - self.acc_hi.query(-1)),
+        )
+        cs.gate(
+            "bytecode/acc_hi_step",
+            g * (1 - ilo)
+            * (self.acc_hi.query() - 256 * self.acc_hi.query(-1) - byte_q),
+        )
+        cs.gate(
+            "bytecode/acc_lo_hold",
+            g * (1 - ilo) * (self.acc_lo.query() - self.acc_lo.query(-1)),
+        )
         return self
 
     def table_exprs(self):
@@ -232,11 +328,28 @@ class BytecodeSubCircuit:
             g * self.byte.query(),
         ]
 
+    def table_exprs_push(self):
+        """(hash_hi, hash_lo, last_index, acc_hi, acc_lo) exposed at each
+        push's FINAL data byte: the evm PUSH-k step looks up its pushed
+        value at last_index = pc + k."""
+        g = self.q_row.query() * self.pd_last.query()
+        return [
+            g * self.hash_hi.query(),
+            g * self.hash_lo.query(),
+            g * self.index.query(),
+            g * self.acc_hi.query(),
+            g * self.acc_lo.query(),
+        ]
+
     def assign(self, cs, fixed, adv, n, wb: WitnessBlock, row0: int) -> int:
+        M128 = (1 << 128) - 1
         r = row0
         for h, code in sorted(wb.bytecode_map.items()):
             hv = int(h, 16)
             hi, lo = hv >> 128, hv & ((1 << 128) - 1)
+            pd = 0  # remaining push-data bytes at the CURRENT row
+            acc = 0
+            plen = 0
             for idx, byte in enumerate(code):
                 adv[self.hash_hi.index][r] = hi
                 adv[self.hash_lo.index][r] = lo
@@ -248,7 +361,46 @@ class BytecodeSubCircuit:
                     fixed[self.q_first.index][r] = 1
                 if idx + 1 < len(code):
                     fixed[self.sel.index][r] = 1
+                # push-data state for this row
+                if pd:
+                    acc = acc * 256 + byte
+                adv[self.pd_left.index][r] = pd
+                adv[self.is_data.index][r] = int(pd != 0)
+                adv[self.pd_inv.index][r] = pow(pd, -1, FR_MOD) if pd else 0
+                dv1 = (pd - 1) % FR_MOD
+                adv[self.pd_last.index][r] = int(pd == 1)
+                adv[self.pd1_inv.index][r] = pow(dv1, -1, FR_MOD) if dv1 else 0
+                dv17 = (pd - 17) % FR_MOD
+                adv[self.is17.index][r] = int(pd == 17)
+                adv[self.p17_inv.index][r] = pow(dv17, -1, FR_MOD) if dv17 else 0
+                adv[self.is_lo.index][r] = int(pd != 0 and pd <= 16)
+                if pd:
+                    # big-endian split: bytes consumed so far, hi half first
+                    consumed = plen - pd + 1
+                    if plen <= 16 or consumed > plen - 16:
+                        # accumulating into lo (possibly after hi complete)
+                        n_lo = consumed - max(plen - 16, 0)
+                        adv[self.acc_hi.index][r] = acc >> (8 * n_lo)
+                        adv[self.acc_lo.index][r] = acc & ((1 << (8 * n_lo)) - 1)
+                    else:
+                        adv[self.acc_hi.index][r] = acc
+                        adv[self.acc_lo.index][r] = 0
+                    pd -= 1
+                    if pd == 0:
+                        acc = 0
+                elif 0x60 <= byte <= 0x7F:
+                    plen = byte - 0x5F
+                    pd = plen
+                    acc = 0
                 r += 1
+        # push-length table region: (op, plen, 1 if 1<=plen<=16)
+        for opb in range(256):
+            pl = opb - 0x5F if 0x60 <= opb <= 0x7F else 0
+            fixed[self.q_ptab.index][r] = 1
+            fixed[self.t2_op.index][r] = opb
+            fixed[self.t2_plen.index][r] = pl
+            fixed[self.t2_plo16.index][r] = int(1 <= pl <= 16)
+            r += 1
         return r - row0
 
 
@@ -401,10 +553,15 @@ _OP_DELTAS = _op_deltas()
 
 
 def _op_props(op: int):
-    """(f_add, f_sub, f_pop, f_dup, f_swap, f_push, kpar, delta)."""
+    """(f_add, f_sub, f_pop, f_dup, f_swap, f_push, kpar, delta, f_imm).
+
+    kpar doubles as the dup/swap index AND the push immediate length
+    (PUSH-k pushes k code bytes; PUSH0 pushes the constant 0). f_imm
+    flags push-with-immediate (0x60..0x7f)."""
     delta = _OP_DELTAS.get(op, 0)
     f = [0, 0, 0, 0, 0, 0]
     kpar = 0
+    f_imm = 0
     if op == 0x01:
         f[0] = 1
     elif op == 0x03:
@@ -419,7 +576,10 @@ def _op_props(op: int):
         kpar = op - 0x8F
     elif 0x5F <= op <= 0x7F:
         f[5] = 1
-    return (*f, kpar, delta)
+        if op > 0x5F:
+            kpar = op - 0x5F
+            f_imm = 1
+    return (*f, kpar, delta, f_imm)
 
 
 class EvmSubCircuit:
@@ -490,12 +650,14 @@ class EvmSubCircuit:
         self.carry0, self.carry1 = cs.advice_column(), cs.advice_column()
         self.cid_inv = cs.advice_column()
         self.cid_eq = cs.advice_column()
+        self.f_imm = cs.advice_column()  # push-with-immediate (PUSH1..32)
         # opcode-properties fixed table
         self.q_props = cs.fixed_column()
         self.t_op = cs.fixed_column()
         self.t_fl = [cs.fixed_column() for _ in range(6)]
         self.t_kpar = cs.fixed_column()
         self.t_delta = cs.fixed_column()
+        self.t_fimm = cs.fixed_column()
 
         qs = self.q_sem.query()
         fadd, fsub, fpop, fdup, fswap, fpush = (c.query() for c in self.fl)
@@ -503,13 +665,15 @@ class EvmSubCircuit:
             "evm/op_props",
             [qs * self.op.query()]
             + [qs * f for f in (fadd, fsub, fpop, fdup, fswap, fpush)]
-            + [qs * self.kpar.query(), qs * self.delta.query()],
+            + [qs * self.kpar.query(), qs * self.delta.query(),
+               qs * self.f_imm.query()],
             [
                 self.q_props.query() * e
                 for e in (
                     [self.t_op.query()]
                     + [c.query() for c in self.t_fl]
-                    + [self.t_kpar.query(), self.t_delta.query()]
+                    + [self.t_kpar.query(), self.t_delta.query(),
+                       self.t_fimm.query()]
                 )
             ],
         )
@@ -570,6 +734,24 @@ class EvmSubCircuit:
         rw_lookup("evm/rw_swap_w2", g_swap, 3, sp - 1 - kq, a_hi, a_lo, 1)
         g_push = qs * fpush
         rw_lookup("evm/rw_push_w", g_push, 0, sp, c_hi, c_lo, 1)
+        # PUSH-k immediate binding: the pushed value must equal the
+        # accumulated immediate bytes at (code_hash, pc + k) in the
+        # bytecode table (VERDICT round-4 #6); PUSH0 pushes literal zero
+        g_imm = qs * self.q_code.query() * self.f_imm.query()
+        cs.lookup(
+            "evm/push_immediate",
+            [
+                g_imm * self.code_hi.query(),
+                g_imm * self.code_lo.query(),
+                g_imm * (self.pc.query() + kq),
+                g_imm * c_hi,
+                g_imm * c_lo,
+            ],
+            bytecode.table_exprs_push(),
+        )
+        f_imm_q = self.f_imm.query()
+        cs.gate("evm/push0_hi", qs * fpush * (1 - f_imm_q) * c_hi)
+        cs.gate("evm/push0_lo", qs * fpush * (1 - f_imm_q) * c_lo)
         return self
 
     def assign(self, cs, fixed, adv, n, wb: WitnessBlock, row0: int) -> int:
@@ -602,6 +784,7 @@ class EvmSubCircuit:
                     adv[self.fl[j].index][r] = props[j]
                 adv[self.kpar.index][r] = props[6]
                 adv[self.delta.index][r] = props[7] % FR_MOD
+                adv[self.f_imm.index][r] = props[8]
                 ops = s.stack_ops
                 fadd, fsub, fpop, fdup, fswap, fpush = props[:6]
                 a = b = c = None
@@ -658,6 +841,7 @@ class EvmSubCircuit:
                     fixed[self.t_fl[j].index][r] = props[j]
                 fixed[self.t_kpar.index][r] = props[6]
                 fixed[self.t_delta.index][r] = props[7] % FR_MOD
+                fixed[self.t_fimm.index][r] = props[8]
                 r += 1
         return r - row0
 

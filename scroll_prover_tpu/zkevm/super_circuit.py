@@ -118,7 +118,8 @@ class ScrollSuperCircuit(Circuit):
         rows = max(
             max(min(d.row_number, _TABLE_REGION_CAP) for d in usage.row_usage_details),
             # real-table regions are assigned in full, never capped
-            sum(len(c) for c in wb.bytecode_map.values()) + 2,
+            # (+256-row push-length fixed table after the code bytes)
+            sum(len(c) for c in wb.bytecode_map.values()) + 258,
             CopySubCircuit().rows_for(wb) + 2,
             len(wb.rw_rows) + 2,
             len(wb.keccak_events) + 2,

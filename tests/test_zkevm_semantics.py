@@ -398,3 +398,91 @@ def test_group_split_rejected(mock):
             mp.advice[st.p01.index][rr] = p01
             mp.advice[st.p012.index][rr] = p012
             _restore_lex_helpers(circ, mp, rr, lex_old)
+
+
+# ---- PUSH immediate binding (VERDICT round-4 #6) ---------------------------
+
+
+def test_push_immediate_bound_to_code(mock):
+    """Changing the value a PUSH-k step claims to push (while repairing
+    the rw row it writes) must break the evm/push_immediate lookup: the
+    pushed word is pinned to the accumulated immediate bytes at
+    (code_hash, pc + k) in the bytecode table."""
+    circ, mp = mock
+    ev = circ.evm
+    qsem = mp.fixed[ev.q_sem.index]
+    qcode = mp.fixed[ev.q_code.index]
+    fimm = mp.advice[ev.f_imm.index]
+    target = next(
+        (
+            r
+            for r in range(mp.n)
+            if qsem[r] == 1 and qcode[r] == 1 and fimm[r] == 1
+        ),
+        None,
+    )
+    if target is None:
+        pytest.skip("no immediate PUSH among replayed steps")
+    clo = mp.advice[ev.c_lo.index]
+    old = int(clo[target])
+    clo[target] = (old + 1) % FR_MOD
+    # adversary also repairs the stack rw write row for the new value:
+    # find the TAG_STACK row at (rwc, slot) this step writes
+    st = circ.state
+    rwc0 = int(mp.advice[ev.rwc.index][target])
+    q_col = mp.fixed[st.q.index]
+    fixed_row = None
+    for r in range(mp.n):
+        if q_col[r] == 1 and int(mp.advice[st.rwc.index][r]) == rwc0:
+            fixed_row = r
+            break
+    saved_state = None
+    if fixed_row is not None:
+        saved_state = int(mp.advice[st.v_lo.index][fixed_row])
+        mp.advice[st.v_lo.index][fixed_row] = (old + 1) % FR_MOD
+    try:
+        failures = mp.verify()
+        assert failures, "tampered push value must be rejected"
+        assert any("push_immediate" in str(f) or "state/" in str(f) for f in failures)
+    finally:
+        clo[target] = old
+        if fixed_row is not None:
+            mp.advice[st.v_lo.index][fixed_row] = saved_state
+
+
+def test_push_accumulator_matches_code(mock, wb):
+    """Positive: every pd_last row's accumulator equals the big-endian
+    immediate read directly from the real code bytes."""
+    circ, mp = mock
+    bc = circ.bytecode
+    q_col = mp.fixed[bc.q_row.index]
+    last_col = mp.advice[bc.pd_last.index]
+    idx_col = mp.advice[bc.index.index]
+    hi_col = mp.advice[bc.hash_hi.index]
+    checked = 0
+    codes = {int(h, 16): c for h, c in wb.bytecode_map.items()}
+    # proper forward disassembly: {(hash_hi, end_index) -> immediate}
+    imms = {}
+    for h, code in codes.items():
+        i = 0
+        while i < len(code):
+            b = code[i]
+            if 0x60 <= b <= 0x7F:
+                ln = b - 0x5F
+                if i + ln < len(code):  # truncated pushes have no pd_last row
+                    imms[(h >> 128, i + ln)] = int.from_bytes(
+                        code[i + 1 : i + 1 + ln], "big"
+                    )
+                i += 1 + ln
+            else:
+                i += 1
+    for r in range(mp.n):
+        if q_col[r] == 1 and last_col[r] == 1:
+            key = (int(hi_col[r]), int(idx_col[r]))
+            assert key in imms, f"pd_last row not at a push end: {key}"
+            acc = (int(mp.advice[bc.acc_hi.index][r]) << 128) | int(
+                mp.advice[bc.acc_lo.index][r]
+            )
+            assert acc == imms[key], f"acc mismatch at code index {key[1]}"
+            checked += 1
+    assert checked > 0, "fixture has no push immediates?"
