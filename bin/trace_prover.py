@@ -39,6 +39,12 @@ def main():
         log.error("no traces found at %s", args.trace)
         sys.exit(1)
     set_scroll_block_constants_with_trace(traces[0])
+    # production cap profile: unset SPT_*_CAP knobs default to the witness
+    # DEMAND, so a no-env trace_prover proof constrains every signature/
+    # keccak/mpt/precompile event (reference mock.rs full super circuit)
+    from scroll_prover_tpu.prover.provers import apply_production_cap_profile
+
+    apply_production_cap_profile(traces)
     # degrees auto-shrink to the witness in test mode; the map is seeded
     # lazily rather than preloading the production 2^20/24/25 files
     params_map = {}

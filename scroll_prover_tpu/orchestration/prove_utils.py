@@ -28,8 +28,10 @@ def prove_chunk(params_map, assets_dir, traces, chunk_id=None, output_dir=None):
             mock_prove_target_circuit_chunk(traces)
             return None
         from ..prover import ChunkProver
+        from ..prover.provers import apply_production_cap_profile
         from ..prover.tasks import ChunkProvingTask
 
+        apply_production_cap_profile(traces)
         prover = ChunkProver.from_params_and_assets(params_map, assets_dir)
         return prover.gen_halo2_chunk_proof(
             ChunkProvingTask.new(traces), chunk_id, None, output_dir
