@@ -553,17 +553,22 @@ _OP_DELTAS = _op_deltas()
 
 
 def _op_props(op: int):
-    """(f_add, f_sub, f_pop, f_dup, f_swap, f_push, kpar, delta, f_imm).
+    """(f_add, f_sub, f_pop, f_dup, f_swap, f_push, kpar, delta, f_imm,
+    f_mul).
 
     kpar doubles as the dup/swap index AND the push immediate length
     (PUSH-k pushes k code bytes; PUSH0 pushes the constant 0). f_imm
-    flags push-with-immediate (0x60..0x7f)."""
+    flags push-with-immediate (0x60..0x7f); f_mul flags MUL (0x02),
+    whose product check runs in the evm word-arithmetic builder."""
     delta = _OP_DELTAS.get(op, 0)
     f = [0, 0, 0, 0, 0, 0]
     kpar = 0
     f_imm = 0
+    f_mul = 0
     if op == 0x01:
         f[0] = 1
+    elif op == 0x02:
+        f_mul = 1
     elif op == 0x03:
         f[1] = 1
     elif op == 0x50:
@@ -579,7 +584,7 @@ def _op_props(op: int):
         if op > 0x5F:
             kpar = op - 0x5F
             f_imm = 1
-    return (*f, kpar, delta, f_imm)
+    return (*f, kpar, delta, f_imm, f_mul)
 
 
 class EvmSubCircuit:
@@ -651,6 +656,7 @@ class EvmSubCircuit:
         self.cid_inv = cs.advice_column()
         self.cid_eq = cs.advice_column()
         self.f_imm = cs.advice_column()  # push-with-immediate (PUSH1..32)
+        self.f_mul = cs.advice_column()  # MUL (word-arithmetic builder)
         # opcode-properties fixed table
         self.q_props = cs.fixed_column()
         self.t_op = cs.fixed_column()
@@ -658,25 +664,33 @@ class EvmSubCircuit:
         self.t_kpar = cs.fixed_column()
         self.t_delta = cs.fixed_column()
         self.t_fimm = cs.fixed_column()
+        self.t_fmul = cs.fixed_column()
 
         qs = self.q_sem.query()
         fadd, fsub, fpop, fdup, fswap, fpush = (c.query() for c in self.fl)
+        fmul = self.f_mul.query()
         cs.lookup(
             "evm/op_props",
             [qs * self.op.query()]
             + [qs * f for f in (fadd, fsub, fpop, fdup, fswap, fpush)]
             + [qs * self.kpar.query(), qs * self.delta.query(),
-               qs * self.f_imm.query()],
+               qs * self.f_imm.query(), qs * fmul],
             [
                 self.q_props.query() * e
                 for e in (
                     [self.t_op.query()]
                     + [c.query() for c in self.t_fl]
                     + [self.t_kpar.query(), self.t_delta.query(),
-                       self.t_fimm.query()]
+                       self.t_fimm.query(), self.t_fmul.query()]
                 )
             ],
         )
+        # word-arithmetic builder: MUL products are checked over 64-bit
+        # limbs with range-checked carries; the step's operand/result
+        # cells are tied in by copy constraints at assignment time
+        from ..gadgets.builder import Builder
+
+        self.wb_ = Builder().configure(cs, lookup_bits=8, lanes=1, lookup_cols=4)
         # sp continuity within a frame (cid equality via is_zero gadget)
         qn = self.q_semn.query()
         dcid = self.cid.query(1) - self.cid.query()
@@ -720,9 +734,9 @@ class EvmSubCircuit:
                 tbl,
             )
 
-        g_r1 = qs * (fadd + fsub + fpop + fswap)
+        g_r1 = qs * (fadd + fsub + fmul + fpop + fswap)
         rw_lookup("evm/rw_r1", g_r1, 0, sp - 1, a_hi, a_lo, 0)
-        g_bin = qs * (fadd + fsub)
+        g_bin = qs * (fadd + fsub + fmul)
         rw_lookup("evm/rw_r2", g_bin, 1, sp - 2, b_hi, b_lo, 0)
         rw_lookup("evm/rw_wbin", g_bin, 2, sp - 2, c_hi, c_lo, 1)
         g_dup = qs * fdup
@@ -760,6 +774,7 @@ class EvmSubCircuit:
         M128 = (1 << 128) - 1
         r = row0
         sem_flags = []
+        mul_events = []  # (step_row, a, b, c) for the word builder
         for i, s in enumerate(wb.steps):
             ob = s.op_byte if s.op_byte >= 0 else opcode_byte(s.op)
             adv[self.step.index][r] = i + 1
@@ -785,10 +800,15 @@ class EvmSubCircuit:
                 adv[self.kpar.index][r] = props[6]
                 adv[self.delta.index][r] = props[7] % FR_MOD
                 adv[self.f_imm.index][r] = props[8]
+                adv[self.f_mul.index][r] = props[9]
                 ops = s.stack_ops
                 fadd, fsub, fpop, fdup, fswap, fpush = props[:6]
+                fmul = props[9]
                 a = b = c = None
-                if (fadd or fsub) and len(ops) >= 3:
+                if fmul and len(ops) >= 3:
+                    a, b, c = ops[0][1], ops[1][1], ops[2][1]
+                    mul_events.append((r, a, b, c))
+                elif (fadd or fsub) and len(ops) >= 3:
                     a, b, c = ops[0][1], ops[1][1], ops[2][1]
                     if fadd:
                         lo = (a & M128) + (b & M128)
@@ -842,8 +862,64 @@ class EvmSubCircuit:
                 fixed[self.t_kpar.index][r] = props[6]
                 fixed[self.t_delta.index][r] = props[7] % FR_MOD
                 fixed[self.t_fimm.index][r] = props[8]
+                fixed[self.t_fmul.index][r] = props[9]
                 r += 1
+            if mul_events:
+                b = self.wb_.begin(cs, fixed, adv, n, 0)
+                for step_row, av, bv, cv in mul_events:
+                    self._mul_check(b, cs, step_row, av, bv, cv)
+                self._builder_rows = b.rows_used()
         return r - row0
+
+    def _mul_check(self, b, cs, r_step, av, bv, cv) -> None:
+        """Constrain cv == av * bv mod 2^256 over 64-bit limbs.
+
+        The step's (a_hi..c_lo) cells are copy-tied into the builder;
+        limb decompositions double as <2^128 range proofs for all six
+        halves. Carries are range-checked so every linear identity holds
+        over the integers (bounds sum to < 2^200 << p), making the check
+        exact — the reference MulAddWordsGadget shape (zkevm-circuits
+        evm_circuit ExecutionState::MUL, SURVEY.md L3a)."""
+        M64 = (1 << 64) - 1
+        M128 = (1 << 128) - 1
+
+        def load(col_hi, col_lo, v):
+            hi, lo = v >> 128, v & M128
+            ch = b.witness(hi)
+            cs.copy(col_hi, r_step, ch.col, ch.row)
+            cl = b.witness(lo)
+            cs.copy(col_lo, r_step, cl.col, cl.row)
+            l0 = b.witness_ranged(lo & M64, 64)
+            l1 = b.witness_ranged(lo >> 64, 64)
+            b.assert_lin_zero([(1, l0), (1 << 64, l1), (-1, cl)])
+            l2 = b.witness_ranged(hi & M64, 64)
+            l3 = b.witness_ranged(hi >> 64, 64)
+            b.assert_lin_zero([(1, l2), (1 << 64, l3), (-1, ch)])
+            return [l0, l1, l2, l3]
+
+        A = load(self.a_hi, self.a_lo, av)
+        B = load(self.b_hi, self.b_lo, bv)
+        C = load(self.c_hi, self.c_lo, cv)
+        t = []
+        for k_ in range(4):
+            terms = [(1, b.mul(A[i], B[k_ - i])) for i in range(k_ + 1)]
+            t.append(b.lin(terms))
+        t0v, t1v, t2v, t3v = (int(x.val) for x in t)
+        c0v, c1v, c2v, c3v = (int(x.val) for x in C)
+        carry_lo_v = (t0v + (t1v << 64) - c0v - (c1v << 64)) >> 128
+        carry_lo = b.witness_ranged(carry_lo_v, 72)
+        b.assert_lin_zero(
+            [(1, t[0]), (1 << 64, t[1]), (-1, C[0]), (-(1 << 64), C[1]),
+             (-(1 << 128), carry_lo)]
+        )
+        carry_hi_v = (
+            t2v + (t3v << 64) + carry_lo_v - c2v - (c3v << 64)
+        ) >> 128
+        carry_hi = b.witness_ranged(carry_hi_v, 72)
+        b.assert_lin_zero(
+            [(1, t[2]), (1 << 64, t[3]), (1, carry_lo), (-1, C[2]),
+             (-(1 << 64), C[3]), (-(1 << 128), carry_hi)]
+        )
 
 
 class StateSubCircuit:

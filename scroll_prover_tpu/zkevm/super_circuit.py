@@ -124,6 +124,10 @@ class ScrollSuperCircuit(Circuit):
             len(wb.rw_rows) + 2,
             len(wb.keccak_events) + 2,
             wb.num_steps + 258,  # +256-row opcode-properties fixed table
+            # evm word-arithmetic builder (~60 rows per MUL step) + its
+            # 256-row range table
+            sum(1 for s in wb.steps if s.op_byte == 0x02 and s.sp >= 0) * 60
+            + 320,
             mpt_rows + 2,
             sig_rows + 2,
             sig_builder_rows + 64,

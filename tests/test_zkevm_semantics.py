@@ -486,3 +486,60 @@ def test_push_accumulator_matches_code(mock, wb):
             assert acc == imms[key], f"acc mismatch at code index {key[1]}"
             checked += 1
     assert checked > 0, "fixture has no push immediates?"
+
+
+# ---- MUL word-arithmetic builder (VERDICT round-4 #6) ----------------------
+
+MUL_CHUNK = "/root/reference/integration/tests/extra_traces/batch_300/chunk_12263"
+
+
+@pytest.fixture(scope="module")
+def wb_mul():
+    traces = load_chunk(MUL_CHUNK)[:1]
+    wb2 = chunk_trace_to_witness_block(traces)
+    muls = [
+        s for s in wb2.steps
+        if s.op_byte == 0x02 and s.sp >= 0 and len(s.stack_ops) >= 3
+    ]
+    if not muls:
+        pytest.skip("fixture slice has no replayed MUL steps")
+    return wb2
+
+
+def test_mul_steps_accepted(wb_mul):
+    circ = ScrollSuperCircuit.new_from_block(wb_mul)
+    mp = MockProver.run(circ.min_k(), circ, circ.instance_for())
+    fails = mp.verify_par()
+    assert fails == [], [str(f) for f in fails[:5]]
+
+
+def test_tampered_mul_result_rejected(wb_mul):
+    # corrupt one MUL's written result in the witness (both the rw row
+    # and the step cell, the best-effort adversary) — the 64-bit-limb
+    # product check must reject it
+    import copy
+
+    wb2 = copy.deepcopy(wb_mul)
+    victim_step = next(
+        s for s in wb2.steps
+        if s.op_byte == 0x02 and s.sp >= 0 and len(s.stack_ops) >= 3
+    )
+    # stack_ops: [read a, read b, write c]; rw rows carry the same values
+    c_rwc = victim_step.stack_rwc0 + 2
+    victim_row = next(r for r in wb2.rw_rows if r.rwc == c_rwc)
+    victim_row.value ^= 1
+    ops = list(victim_step.stack_ops)
+    slot, val, isw = ops[2]
+    ops[2] = (slot, val ^ 1, isw)
+    victim_step.stack_ops = ops
+    circ = ScrollSuperCircuit.new_from_block(wb2)
+    # rejection can surface two ways: the carry witness has NO in-range
+    # value (assignment asserts — there is no satisfying assignment at
+    # all), or the mock reports the violated product constraint
+    try:
+        mp = MockProver.run(circ.min_k(), circ, circ.instance_for())
+    except AssertionError as e:
+        assert "range_check witness" in str(e)
+        return
+    fails = mp.verify_par()
+    assert fails != [], "tampered MUL result accepted"
