@@ -39,11 +39,20 @@ def _load():
     return _lib
 
 
+# Scroll's zstd fork strips the 4-byte frame magic from its output and
+# its decoder expects magic-less input (aggregator blob convention —
+# VERIFIED against the reference fixture: test_data/batch-task-with-blob
+# .json's envelope-0x01 body decodes with VANILLA libzstd once the magic
+# is re-added, i.e. the fork's frame IS standard zstd minus the header).
+ZSTD_MAGIC = bytes.fromhex("28b52ffd")
+
+
 def zstd_available() -> bool:
     return _load() is not None
 
 
-def zstd_compress(data: bytes) -> bytes:
+def zstd_compress(data: bytes, strip_magic: bool = True) -> bytes:
+    """Compress; by default emit the scroll-fork magic-less frame."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native zstd codec unavailable")
@@ -52,13 +61,19 @@ def zstd_compress(data: bytes) -> bytes:
     n = lib.spt_zstd_compress(data, len(data), dst, bound)
     if n == 0:
         raise RuntimeError("zstd compression failed")
-    return dst.raw[:n]
+    out = dst.raw[:n]
+    if strip_magic and out[:4] == ZSTD_MAGIC:
+        out = out[4:]
+    return out
 
 
 def zstd_decompress(data: bytes, max_size: int = 1 << 22) -> bytes:
+    """Decompress either a full frame or a scroll-style magic-less one."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native zstd codec unavailable")
+    if data[:4] != ZSTD_MAGIC:
+        data = ZSTD_MAGIC + data
     dst = ctypes.create_string_buffer(max_size)
     n = lib.spt_zstd_decompress(data, len(data), dst, max_size)
     if n == 0:
