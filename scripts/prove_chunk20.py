@@ -160,10 +160,36 @@ def main() -> None:
     if args.prove:
         import hashlib
         import logging
+        import threading
 
         logging.basicConfig(
             level=logging.INFO, format="%(asctime)s %(message)s"
         )
+
+        # hang watchdog: the tunneled backend can wedge a recv() forever
+        # (observed round 5: a k=17 phase-1 dispatch blocked 45+ min with
+        # zero CPU). If NOTHING logs for SPT_WATCHDOG_S the process exits
+        # hard; the outer retry loop resumes from the checkpoint.
+        wd_s = float(os.environ.get("SPT_WATCHDOG_S", "1800"))
+        last_beat = [time.time()]
+
+        class _Beat(logging.Handler):
+            def emit(self, record):
+                last_beat[0] = time.time()
+
+        logging.getLogger().addHandler(_Beat())
+
+        def _watch():
+            while True:
+                time.sleep(60)
+                if time.time() - last_beat[0] > wd_s:
+                    print(
+                        f"[watchdog] no progress for {wd_s:.0f}s — aborting "
+                        "(resume from checkpoint)", flush=True,
+                    )
+                    os._exit(3)
+
+        threading.Thread(target=_watch, daemon=True).start()
         import jax
 
         jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))

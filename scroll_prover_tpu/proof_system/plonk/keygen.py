@@ -221,12 +221,20 @@ def keygen(srs: SRS, k: int, circuit: Circuit, instance=None, ckpt=None):
             )
         )
 
+        import logging as _logging
+
+        _klog = _logging.getLogger(__name__)
+
         def commit_vals(cols):
             out = []
             for i in range(0, len(cols), cb):
                 grp = [_to_mont_dev(c) for c in cols[i : i + cb]]
                 out.extend(kzg_commit_batch(srs, grp, basis="lagrange"))
                 del grp
+                if len(cols) > cb:
+                    _klog.info(
+                        "keygen commit %d/%d", min(i + cb, len(cols)), len(cols)
+                    )
             return out
 
         fixed_polys = None
@@ -246,12 +254,22 @@ def keygen(srs: SRS, k: int, circuit: Circuit, instance=None, ckpt=None):
                 ]
                 out.extend(_kcb(srs, grp, basis="lagrange"))
                 del grp
+                if len(sigma_vals) > cb:
+                    _klog.info(
+                        "keygen sigma commit %d/%d",
+                        min(i + cb, len(sigma_vals)), len(sigma_vals),
+                    )
+            return out
+
+        def commit_sigma_logged():
+            out = commit_sigma()
+            _klog.info("keygen sigma commits done (%d)", len(out))
             return out
 
         sigma_coms = (
-            commit_sigma()
+            commit_sigma_logged()
             if ckpt is None
-            else ckpt.points("kg_sigma", commit_sigma)
+            else ckpt.points("kg_sigma", commit_sigma_logged)
         )
         sigma_polys = None
     else:

@@ -270,7 +270,10 @@ def _intt_consume(dom, cols: list) -> list:
     peak extra HBM is one NTT group, not a second copy of every column)."""
     out: list = []
     g = _ntt_group(dom.n)
+    n_grp = (len(cols) + g - 1) // max(g, 1)
     for i in range(0, len(cols), g):
+        if n_grp > 8:
+            log.info("intt-consume %d/%d", i // g + 1, n_grp)
         grp = [_U(c) for c in cols[i : i + g]]
         if len(grp) == 1:
             out.append(_P(dom.intt(grp[0])))
@@ -416,6 +419,10 @@ def prove(
                     srs, [_U(p) for p in polys[i : i + cb]], basis=basis
                 )
             )
+            if len(polys) > cb:
+                # heartbeat: commit groups are the longest-running inner
+                # units at production width (watchdog + observability)
+                log.info("commit %d/%d", min(i + cb, len(polys)), len(polys))
         return out
 
     # --- phase 1: advice commitments -------------------------------------
@@ -499,6 +506,8 @@ def prove(
         lookups.append(
             ckpt.lookup(li, _build_lookup) if ckpt is not None else _build_lookup()
         )
+        if len(cs.lookups) > 4:
+            log.info("lookup %d/%d", li + 1, len(cs.lookups))
     if _LOWMEM:
         # Lagrange-basis commits from values; coeff forms deferred to the
         # post-phase-3 conversion (same points, same transcript bytes).
@@ -1460,6 +1469,8 @@ def _quotient_cosets(
             # the first unfinished coset instead of re-walking all of them
             ckpt.coset(r, lambda: np.asarray(fo.pack_limbs(acc), np.uint32))
             log.info("quotient coset %d/%d done (checkpointed)", r + 1, ratio)
+        else:
+            log.info("quotient coset %d/%d done", r + 1, ratio)
         accs.append(acc)
     # interleave: ext position i*ratio + r <-> shift_r * omega^i
     return jnp.stack(accs, axis=1).reshape(ext_n, 16)
