@@ -60,6 +60,11 @@ class StepWitness:
     sp: int = -1
     stack_rwc0: int = -1
     stack_ops: tuple = ()
+    # executing contract address + the step's storage accesses with their
+    # EMITTED rw-row counters: [(addr, slot, value, is_write, transient,
+    # rwc), ...] — the evm circuit's SLOAD/SSTORE storage-row binding
+    addr: int = 0
+    store_ops: tuple = ()
 
 
 # rw-table tags (reference bus-mapping RwTableTag subset)
@@ -280,11 +285,10 @@ def _absorb_block(wb: WitnessBlock, trace: BlockTrace) -> None:
         if repl is not None:
             wb.replayed_txs += 1
             _absorb_prestate(wb, er)
-            for a in repl.storage_accesses:
-                _emit_rw(
-                    wb, TAG_TSTORAGE if a.transient else TAG_STORAGE,
-                    a.addr, a.slot, a.value, a.is_write,
-                )
+            # storage accesses are emitted PER STEP inside _absorb_replay
+            # (each SLOAD/SSTORE row's rwc lands on its step for the evm
+            # circuit's storage binding); any access the step attribution
+            # missed falls back to bulk emission there
             _absorb_account_after(wb, er)
             _absorb_replay(wb, er, repl, wb.num_txs - 1)
             _walk_calls(wb, er.call_trace)
@@ -428,6 +432,7 @@ def _absorb_replay(wb: WitnessBlock, er, repl, tx_index: int) -> None:
         _add_bytecode(wb, code)
         wb.bytecodes.setdefault(f"{h:064x}", len(code))
     cid_ns = (tx_index + 1) << 32  # call ids unique across the chunk
+    n_attr = 0
     for j, sl in enumerate(er.struct_logs):
         ops = repl.step_stack_ops[j] if j < len(repl.step_stack_ops) else []
         rwc0 = len(wb.rw_rows) + 1 if ops else -1
@@ -440,6 +445,22 @@ def _absorb_replay(wb: WitnessBlock, er, repl, tx_index: int) -> None:
                 )
             )
             step_ops.append((slot, value, is_write))
+        # the step's storage accesses, emitted right after its stack rows
+        # (through _emit_rw so chain bridging still applies); the actual
+        # row rwc is recorded for the evm circuit's storage lookup
+        store = (
+            repl.step_store_ops[j] if j < len(repl.step_store_ops) else []
+        )
+        step_store = []
+        for (s_addr, s_slot, s_val, s_isw, s_tr) in store:
+            _emit_rw(
+                wb, TAG_TSTORAGE if s_tr else TAG_STORAGE,
+                s_addr, s_slot, s_val, s_isw,
+            )
+            step_store.append(
+                (s_addr, s_slot, s_val, s_isw, s_tr, wb.rw_rows[-1].rwc)
+            )
+            n_attr += 1
         wb.steps.append(
             StepWitness(
                 sl.op, sl.pc, sl.gas_cost, sl.depth, tx_index,
@@ -452,8 +473,19 @@ def _absorb_replay(wb: WitnessBlock, er, repl, tx_index: int) -> None:
                 sp=repl.step_sp[j] if j < len(repl.step_sp) else -1,
                 stack_rwc0=rwc0,
                 stack_ops=tuple(step_ops),
+                addr=(
+                    repl.step_addrs[j] if j < len(repl.step_addrs) else 0
+                ),
+                store_ops=tuple(step_store),
             )
         )
+    if n_attr < len(repl.storage_accesses):
+        # accesses outside any traced step (shouldn't happen): bulk-emit
+        for a in repl.storage_accesses[n_attr:]:
+            _emit_rw(
+                wb, TAG_TSTORAGE if a.transient else TAG_STORAGE,
+                a.addr, a.slot, a.value, a.is_write,
+            )
     wb.rw_ops += repl.stack_rw + repl.memory_rw + len(repl.storage_accesses)
     wb.copy_bytes += sum(len(c.data) for c in repl.copy_events)
     wb.exp_events += len(repl.exp_events)

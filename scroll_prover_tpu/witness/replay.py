@@ -132,6 +132,11 @@ class ReplayResult:
     step_call_ids: list = field(default_factory=list)
     step_sp: list = field(default_factory=list)
     step_stack_ops: list = field(default_factory=list)
+    # per traced step: executing frame's contract address and the ordered
+    # storage accesses [(addr, slot, value, is_write, transient), ...] —
+    # consumed by the evm circuit's SLOAD/SSTORE rw binding
+    step_addrs: list = field(default_factory=list)
+    step_store_ops: list = field(default_factory=list)
     logs: int = 0
     return_data: bytes = b""
     failed: bool = False
@@ -187,6 +192,7 @@ class _Frame:
 
 class Replayer:
     _cur_ops: list = None
+    _cur_store: list = None
     _next_cid: int = 0
 
     def _rec(self, call_id: int, slot: int, value: int, is_write: bool):
@@ -238,6 +244,8 @@ class Replayer:
         self.res.storage_accesses.append(
             StorageAccess(addr, slot, v, False, transient)
         )
+        if self._cur_store is not None:
+            self._cur_store.append((addr, slot, v, False, transient))
         return v
 
     def _sstore(self, addr: int, slot: int, value: int, transient=False):
@@ -248,6 +256,8 @@ class Replayer:
         self.res.storage_accesses.append(
             StorageAccess(addr, slot, value, True, transient)
         )
+        if self._cur_store is not None:
+            self._cur_store.append((addr, slot, value, True, transient))
 
     # -- precompiles ------------------------------------------------------
     def _precompile(self, addr: int, data: bytes) -> bytes | None:
@@ -366,6 +376,9 @@ class Replayer:
             self.res.step_sp.append(len(f.stack))
             self._cur_ops = []
             self.res.step_stack_ops.append(self._cur_ops)
+            self._cur_store = []
+            self.res.step_store_ops.append(self._cur_store)
+            self.res.step_addrs.append(f.address)
             halt = self._step(frames, f, op, log)
             if halt is not None:
                 data, success = halt

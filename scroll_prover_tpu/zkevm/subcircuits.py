@@ -554,17 +554,20 @@ _OP_DELTAS = _op_deltas()
 
 def _op_props(op: int):
     """(f_add, f_sub, f_pop, f_dup, f_swap, f_push, kpar, delta, f_imm,
-    f_mul).
+    f_mul, f_sload, f_sstore).
 
     kpar doubles as the dup/swap index AND the push immediate length
     (PUSH-k pushes k code bytes; PUSH0 pushes the constant 0). f_imm
     flags push-with-immediate (0x60..0x7f); f_mul flags MUL (0x02),
-    whose product check runs in the evm word-arithmetic builder."""
+    whose product check runs in the evm word-arithmetic builder; f_sload/
+    f_sstore (0x54/0x55) bind the step to its TAG_STORAGE rw row."""
     delta = _OP_DELTAS.get(op, 0)
     f = [0, 0, 0, 0, 0, 0]
     kpar = 0
     f_imm = 0
     f_mul = 0
+    f_sload = 0
+    f_sstore = 0
     if op == 0x01:
         f[0] = 1
     elif op == 0x02:
@@ -573,6 +576,10 @@ def _op_props(op: int):
         f[1] = 1
     elif op == 0x50:
         f[2] = 1
+    elif op == 0x54:
+        f_sload = 1
+    elif op == 0x55:
+        f_sstore = 1
     elif 0x80 <= op <= 0x8F:
         f[3] = 1
         kpar = op - 0x7F
@@ -584,7 +591,7 @@ def _op_props(op: int):
         if op > 0x5F:
             kpar = op - 0x5F
             f_imm = 1
-    return (*f, kpar, delta, f_imm, f_mul)
+    return (*f, kpar, delta, f_imm, f_mul, f_sload, f_sstore)
 
 
 class EvmSubCircuit:
@@ -657,6 +664,10 @@ class EvmSubCircuit:
         self.cid_eq = cs.advice_column()
         self.f_imm = cs.advice_column()  # push-with-immediate (PUSH1..32)
         self.f_mul = cs.advice_column()  # MUL (word-arithmetic builder)
+        self.f_sload = cs.advice_column()
+        self.f_sstore = cs.advice_column()
+        self.addr = cs.advice_column()   # executing contract address
+        self.srwc = cs.advice_column()   # the step's storage-row counter
         # opcode-properties fixed table
         self.q_props = cs.fixed_column()
         self.t_op = cs.fixed_column()
@@ -665,23 +676,29 @@ class EvmSubCircuit:
         self.t_delta = cs.fixed_column()
         self.t_fimm = cs.fixed_column()
         self.t_fmul = cs.fixed_column()
+        self.t_fsload = cs.fixed_column()
+        self.t_fsstore = cs.fixed_column()
 
         qs = self.q_sem.query()
         fadd, fsub, fpop, fdup, fswap, fpush = (c.query() for c in self.fl)
         fmul = self.f_mul.query()
+        fsload = self.f_sload.query()
+        fsstore = self.f_sstore.query()
         cs.lookup(
             "evm/op_props",
             [qs * self.op.query()]
             + [qs * f for f in (fadd, fsub, fpop, fdup, fswap, fpush)]
             + [qs * self.kpar.query(), qs * self.delta.query(),
-               qs * self.f_imm.query(), qs * fmul],
+               qs * self.f_imm.query(), qs * fmul, qs * fsload,
+               qs * fsstore],
             [
                 self.q_props.query() * e
                 for e in (
                     [self.t_op.query()]
                     + [c.query() for c in self.t_fl]
                     + [self.t_kpar.query(), self.t_delta.query(),
-                       self.t_fimm.query(), self.t_fmul.query()]
+                       self.t_fimm.query(), self.t_fmul.query(),
+                       self.t_fsload.query(), self.t_fsstore.query()]
                 )
             ],
         )
@@ -734,11 +751,42 @@ class EvmSubCircuit:
                 tbl,
             )
 
-        g_r1 = qs * (fadd + fsub + fmul + fpop + fswap)
+        g_r1 = qs * (fadd + fsub + fmul + fpop + fswap + fsload + fsstore)
         rw_lookup("evm/rw_r1", g_r1, 0, sp - 1, a_hi, a_lo, 0)
         g_bin = qs * (fadd + fsub + fmul)
         rw_lookup("evm/rw_r2", g_bin, 1, sp - 2, b_hi, b_lo, 0)
         rw_lookup("evm/rw_wbin", g_bin, 2, sp - 2, c_hi, c_lo, 1)
+        # SLOAD/SSTORE: the slot key read (a, via g_r1 above), then the
+        # stack result/value traffic, then the TAG_STORAGE row itself at
+        # the step's witnessed storage rw counter — read-consistency in
+        # the sorted rw table forces the loaded/stored value to chain from
+        # the key group's prior writes (prestate-seeded)
+        g_sl = qs * fsload
+        rw_lookup("evm/rw_sload_w", g_sl, 1, sp - 1, c_hi, c_lo, 1)
+        g_ss = qs * fsstore
+        rw_lookup("evm/rw_sstore_r2", g_ss, 1, sp - 2, b_hi, b_lo, 0)
+        tbl_full = state.table_exprs_rwc_full()
+        srwc_q, addr_q = self.srwc.query(), self.addr.query()
+        from ..witness.block import TAG_STORAGE as _TS
+
+        cs.lookup(
+            "evm/storage_sload",
+            [
+                g_sl * srwc_q, g_sl * _TS, g_sl * addr_q,
+                g_sl * a_hi, g_sl * a_lo, g_sl * c_hi, g_sl * c_lo,
+                g_sl * 0,
+            ],
+            tbl_full,
+        )
+        cs.lookup(
+            "evm/storage_sstore",
+            [
+                g_ss * srwc_q, g_ss * _TS, g_ss * addr_q,
+                g_ss * a_hi, g_ss * a_lo, g_ss * b_hi, g_ss * b_lo,
+                g_ss * 1,
+            ],
+            tbl_full,
+        )
         g_dup = qs * fdup
         rw_lookup("evm/rw_dup_r", g_dup, 0, sp - kq, a_hi, a_lo, 0)
         rw_lookup("evm/rw_dup_w", g_dup, 1, sp, a_hi, a_lo, 1)
@@ -801,11 +849,22 @@ class EvmSubCircuit:
                 adv[self.delta.index][r] = props[7] % FR_MOD
                 adv[self.f_imm.index][r] = props[8]
                 adv[self.f_mul.index][r] = props[9]
+                adv[self.f_sload.index][r] = props[10]
+                adv[self.f_sstore.index][r] = props[11]
                 ops = s.stack_ops
                 fadd, fsub, fpop, fdup, fswap, fpush = props[:6]
                 fmul = props[9]
+                fsload, fsstore = props[10], props[11]
                 a = b = c = None
-                if fmul and len(ops) >= 3:
+                if (fsload or fsstore) and len(ops) >= 2 and s.store_ops:
+                    a = ops[0][1]  # the 256-bit storage key
+                    if fsload:
+                        c = ops[1][1]  # loaded value (stack write)
+                    else:
+                        b = ops[1][1]  # stored value (stack read)
+                    adv[self.addr.index][r] = s.addr
+                    adv[self.srwc.index][r] = s.store_ops[0][5]
+                elif fmul and len(ops) >= 3:
                     a, b, c = ops[0][1], ops[1][1], ops[2][1]
                     mul_events.append((r, a, b, c))
                 elif (fadd or fsub) and len(ops) >= 3:
@@ -863,6 +922,8 @@ class EvmSubCircuit:
                 fixed[self.t_delta.index][r] = props[7] % FR_MOD
                 fixed[self.t_fimm.index][r] = props[8]
                 fixed[self.t_fmul.index][r] = props[9]
+                fixed[self.t_fsload.index][r] = props[10]
+                fixed[self.t_fsstore.index][r] = props[11]
                 r += 1
             if mul_events:
                 b = self.wb_.begin(cs, fixed, adv, n, 0)
@@ -1073,6 +1134,21 @@ class StateSubCircuit:
             q * self.rwc.query(),
             q * self.tag.query(),
             q * self.addr.query(),
+            q * self.key_lo.query(),
+            q * self.v_hi.query(),
+            q * self.v_lo.query(),
+            q * self.is_write.query(),
+        ]
+
+    def table_exprs_rwc_full(self):
+        """Full-key variant for storage binding: (rwc, tag, addr, key_hi,
+        key_lo, v_hi, v_lo, is_write) — SLOAD/SSTORE slots are 256-bit."""
+        q = self.q.query()
+        return [
+            q * self.rwc.query(),
+            q * self.tag.query(),
+            q * self.addr.query(),
+            q * self.key_hi.query(),
             q * self.key_lo.query(),
             q * self.v_hi.query(),
             q * self.v_lo.query(),
