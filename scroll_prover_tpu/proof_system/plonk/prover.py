@@ -132,19 +132,22 @@ def _free(*arrs):
 
 
 def _hbm_probe(tag: str) -> None:
-    """SPT_MEM_PROBE=1: log free HBM by greedy 256 MB allocation (the
-    axon backend exposes no memory_stats)."""
+    """SPT_MEM_PROBE=1: log a LOWER BOUND on free HBM by allocating at
+    most 2 GB (the axon backend exposes no memory_stats). The earlier
+    greedy-to-exhaustion probe caused its own failures: allocating to the
+    brink mid-prove left the arena poisoned for the very next upload
+    (round-5 smoke3 quotient OOM right after a 14 GB probe)."""
     if os.environ.get("SPT_MEM_PROBE") != "1":
         return
     bufs = []
     try:
-        for _ in range(64):
+        for _ in range(8):
             b = jnp.ones((1 << 26,), jnp.uint32)
             np.asarray(b[0])
             bufs.append(b)
     except Exception:
         pass
-    log.info("hbm_probe[%s] ~%.1f GB free", tag, len(bufs) * 0.25)
+    log.info("hbm_probe[%s] >= %.1f GB free", tag, len(bufs) * 0.25)
     del bufs
 
 
@@ -761,6 +764,12 @@ def prove(
         chunks, theta, beta, gamma, y, u, ckpt=ckpt, _debug=_debug,
     )
     _mark("quotient built")
+    # drain the dispatch queue BEFORE the commit MSMs enqueue: the pending
+    # chain here includes the 2^(k+j) extended-domain iNTT whose program
+    # transients must not coexist with the MSM bucket tables (round-5
+    # smokes OOMed exactly at this boundary at k=17 with ~2 GB resident)
+    for _h in h_chunk_polys:
+        np.asarray(_h[0, 0])
     _hbm_probe("post-quotient")
     _p4 = lambda: _commit_cols(h_chunk_polys)
     for c in (_p4() if ckpt is None else ckpt.points("p4_h", _p4)):
