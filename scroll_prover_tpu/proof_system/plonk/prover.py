@@ -132,23 +132,24 @@ def _free(*arrs):
 
 
 def _hbm_probe(tag: str) -> None:
-    """SPT_MEM_PROBE=1: log a LOWER BOUND on free HBM by allocating at
-    most 2 GB (the axon backend exposes no memory_stats). The earlier
-    greedy-to-exhaustion probe caused its own failures: allocating to the
-    brink mid-prove left the arena poisoned for the very next upload
-    (round-5 smoke3 quotient OOM right after a 14 GB probe)."""
+    """SPT_MEM_PROBE=1: log the largest single allocation that currently
+    succeeds (descending bisect, one buffer at a time, freed immediately)
+    — the axon backend exposes no memory_stats. A greedy-to-exhaustion
+    probe is NOT used: filling the arena mid-prove poisoned the very next
+    upload (round-5 smoke3)."""
     if os.environ.get("SPT_MEM_PROBE") != "1":
         return
-    bufs = []
-    try:
-        for _ in range(8):
-            b = jnp.ones((1 << 26,), jnp.uint32)
+    got = 0.0
+    for gb in (10.0, 8.0, 6.0, 4.0, 3.0, 2.0, 1.0, 0.5, 0.25):
+        try:
+            b = jnp.ones((int(gb * (1 << 28)),), jnp.uint32)
             np.asarray(b[0])
-            bufs.append(b)
-    except Exception:
-        pass
-    log.info("hbm_probe[%s] >= %.1f GB free", tag, len(bufs) * 0.25)
-    del bufs
+            del b
+            got = gb
+            break
+        except Exception:
+            continue
+    log.info("hbm_probe[%s] largest-alloc ~%.2f GB", tag, got)
 
 
 def _decode_mont(arr, count: int | None = None) -> list[int]:
@@ -353,7 +354,10 @@ def prove(
     omega = dom.omega
 
     _t0 = time.perf_counter()
-    _mark = lambda msg: log.info("prove[%s] %.1fs", msg, time.perf_counter() - _t0)
+
+    def _mark(msg):
+        log.info("prove[%s] %.1fs", msg, time.perf_counter() - _t0)
+        _hbm_probe(msg)
     inst = _pad_instance(cs, n, instance)
     from .cs import assign_cached
 
@@ -690,16 +694,19 @@ def prove(
     y = tr.squeeze_challenge()
 
     instance_polys = _intt_cols(dom, inst_dev)
+    _hbm_probe("p4:inst")
     if _LOWMEM:
         # value tables -> coefficient forms, consume-as-you-go: each source
         # column is freed as its coeff form materializes, so the two
         # representations never coexist at full width (the phase 1-3
         # commitments already happened in the Lagrange basis)
         advice_polys = _intt_consume(dom, advice_dev)
+        _hbm_probe("p4:advice-consumed")
         perm_z_polys = _intt_consume(dom, perm_z_devs)
         lookup_z_polys = _intt_consume(dom, lookup_z_devs)
         random_poly = dom.intt(rand_vals)
         rand_vals = None
+        _hbm_probe("p4:z-consumed")
         for lk in lookups:
             lk.pop("a_perm_dev", None)
             lk.pop("s_perm_dev", None)
@@ -756,7 +763,7 @@ def prove(
         for key in ("a_dev", "s_dev", "a_perm_dev", "s_perm_dev"):
             _free(lk.get(key))
             lk.pop(key, None)
-    _hbm_probe("pre-quotient")
+    _hbm_probe("p4:pools-released")
     h_chunk_polys = _build_quotient(
         pk, dom, cs, advice_polys, [p for p in pk.fixed_polys],
         instance_polys,
@@ -1191,12 +1198,17 @@ def _build_quotient(
 
     stream = (
         (
-            ext_n >= (1 << 22)
+            (ext_n >= (1 << 22) or _LOWMEM)
             and _jax.default_backend() != "cpu"
             or os.environ.get("SPT_FORCE_STREAM") == "1"
         )
         and _debug is None
     )
+    # LOWMEM forces coset streaming at EVERY size on a real device: the
+    # full-domain driver extends all ~400 queried columns to ext_n x 64 B
+    # at once (~25 GB for the production circuit even at k=17's 2^20
+    # extended domain — the round-5 smoke OOM), which contradicts the
+    # low-HBM choreography by construction.
     lact_vals = [1] * u + [0] * (n - u)
     lact_poly = _P(dom.intt(_encode_mont(lact_vals)))
     by_kind = {"advice": advice_polys, "fixed": fixed_polys,
@@ -1229,12 +1241,15 @@ def _build_quotient(
             pk, dom, cs, by_kind, zpolys, lact_poly, chunks,
             theta, beta, gamma, y, u, vshort, ckpt=ckpt,
         )
+        _hbm_probe("p4:cosets-done")
     else:
         acc_ext = _quotient_full(
             pk, dom, cs, by_kind, zpolys, lact_poly, chunks,
             theta, beta, gamma, y, u, vshort, mm, ad, sb, neg, _debug,
         )
 
+    np.asarray(acc_ext[0, 0])  # force the interleave before the big iNTT
+    _hbm_probe("p4:interleaved")
     h_coeffs = dom.intt_extended(acc_ext)
     # split into chunks of n; pieces beyond the degree bound are identically
     # zero (see _n_h) and are not part of the proof

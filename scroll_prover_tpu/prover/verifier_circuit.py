@@ -95,6 +95,12 @@ class VerifierCircuit(Circuit):
     # -- the gadget program ------------------------------------------------
 
     def _run(self, cs, fixed, adv, n: int):
+        import logging
+        import time as _time
+
+        _vlog = logging.getLogger(__name__)
+        _t0 = _time.time()
+        _vlog.info("verifier-gadget build start (n=%d)", n)
         b = self.b.begin(cs, fixed, adv, n, 0)
         ec = EccChip(NonNativeChip(b))
         inst_cells = [[b.witness(v) for v in self.inner_instances]]
@@ -106,6 +112,10 @@ class VerifierCircuit(Circuit):
             inner_acc_cells=acc_cells, multiopen=self.inner_multiopen,
         )
         lhs, rhs = vg.run()
+        _vlog.info(
+            "verifier-gadget build done: %d rows, %.1fs",
+            b.rows_used(), _time.time() - _t0,
+        )
         return b, vg, lhs, rhs, inst_cells
 
     def min_k(self) -> int:
