@@ -85,7 +85,13 @@ class ConstraintSystem:
         self.lookups.append(Lookup(name, list(inputs), list(tables)))
 
     def enable_permutation(self, col: ColumnRef):
-        if col not in self.perm_columns:
+        # set-backed membership: the list scan was 80 s of a production
+        # assignment (7.4M calls x ~250 columns, round-5 profile)
+        seen = getattr(self, "_perm_set", None)
+        if seen is None:
+            seen = self._perm_set = set(self.perm_columns)
+        if col not in seen:
+            seen.add(col)
             self.perm_columns.append(col)
 
     def copy(self, a: ColumnRef, a_row: int, b: ColumnRef, b_row: int):
