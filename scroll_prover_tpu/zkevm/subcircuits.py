@@ -718,6 +718,29 @@ class EvmSubCircuit:
             "evm/sp_transition",
             qn * e * (self.sp.query(1) - self.sp.query() - self.delta.query()),
         )
+        # CALL-family context transitions (VERDICT round-4 #6): within a
+        # transaction, a frame switch moves call depth by EXACTLY one
+        # (d_up boolean witnesses the direction), and a deeper frame
+        # starts with an empty stack. Same-cid steps keep depth constant.
+        self.depth = cs.advice_column()
+        self.txi = cs.advice_column()
+        self.tx_inv = cs.advice_column()
+        self.tx_eq = cs.advice_column()
+        self.d_up = cs.advice_column()
+        dtx = self.txi.query(1) - self.txi.query()
+        te, tinv = self.tx_eq.query(), self.tx_inv.query()
+        cs.gate("evm/tx_eq_def", qn * (te - 1 + dtx * tinv))
+        cs.gate("evm/tx_eq_zero", qn * dtx * te)
+        dq = self.depth.query(1) - self.depth.query()
+        du = self.d_up.query()
+        cs.gate("evm/d_up_bool", qn * du * (du - 1))
+        cs.gate("evm/depth_same_frame", qn * e * dq)
+        # frame switch within a tx: depth' - depth = 2*d_up - 1 (= +-1)
+        cs.gate(
+            "evm/depth_step",
+            qn * te * (1 - e) * (dq - 2 * du + 1),
+        )
+        cs.gate("evm/call_entry_sp0", qn * te * (1 - e) * du * self.sp.query(1))
         # ADD/SUB arithmetic over hi/lo halves with boolean carries
         TWO128 = 1 << 128
         a_hi, a_lo = self.a_hi.query(), self.a_lo.query()
@@ -841,6 +864,8 @@ class EvmSubCircuit:
                 fixed[self.q_sem.index][r] = 1
                 adv[self.cid.index][r] = s.call_id
                 adv[self.sp.index][r] = s.sp
+                adv[self.depth.index][r] = s.depth
+                adv[self.txi.index][r] = s.tx_index
                 adv[self.rwc.index][r] = max(s.stack_rwc0, 0)
                 props = _op_props(ob)
                 for j in range(6):
@@ -906,11 +931,18 @@ class EvmSubCircuit:
                 if i + 1 < len(wb.steps) and sem_flags[i] and sem_flags[i + 1]:
                     rr = row0 + i
                     fixed[self.q_semn.index][rr] = 1
-                    d = (wb.steps[i + 1].call_id - s.call_id) % FR_MOD
+                    nxt = wb.steps[i + 1]
+                    d = (nxt.call_id - s.call_id) % FR_MOD
                     adv[self.cid_inv.index][rr] = (
                         pow(d, -1, FR_MOD) if d else 0
                     )
                     adv[self.cid_eq.index][rr] = 1 if d == 0 else 0
+                    dt = (nxt.tx_index - s.tx_index) % FR_MOD
+                    adv[self.tx_inv.index][rr] = (
+                        pow(dt, -1, FR_MOD) if dt else 0
+                    )
+                    adv[self.tx_eq.index][rr] = 1 if dt == 0 else 0
+                    adv[self.d_up.index][rr] = int(nxt.depth > s.depth)
             # opcode-properties fixed table region (256 rows after steps)
             for opb in range(256):
                 props = _op_props(opb)

@@ -603,3 +603,51 @@ def test_tampered_sload_value_rejected(wb_mul):
     mp = MockProver.run(circ.min_k(), circ, circ.instance_for())
     fails = mp.verify_par()
     assert fails != [], "tampered SLOAD value accepted"
+
+
+# ---- CALL-family depth transitions (VERDICT round-4 #6) --------------------
+
+
+def test_depth_transitions_present(wb_mul):
+    """batch_300 has sub-calls: some adjacent sem steps cross frames and
+    the witness marks the direction bit for each."""
+    steps = [s for s in wb_mul.steps if s.sp >= 0]
+    crossings = [
+        (a, b) for a, b in zip(steps, steps[1:])
+        if a.call_id != b.call_id and a.tx_index == b.tx_index
+    ]
+    if not crossings:
+        pytest.skip("no in-tx frame crossings in fixture slice")
+    for a, b in crossings:
+        assert abs(b.depth - a.depth) == 1
+        if b.depth > a.depth:
+            assert b.sp == 0  # fresh frame starts with an empty stack
+
+
+def test_tampered_call_depth_rejected(wb_mul):
+    """Claiming a frame switch jumps two levels (repairing d_up either
+    way) violates the +-1 depth-step gate."""
+    circ = ScrollSuperCircuit.new_from_block(wb_mul)
+    mp = MockProver.run(circ.min_k(), circ, circ.instance_for())
+    ev = circ.evm
+    qn = mp.fixed[ev.q_semn.index]
+    e_col = mp.advice[ev.cid_eq.index]
+    te_col = mp.advice[ev.tx_eq.index]
+    target = next(
+        (
+            r for r in range(mp.n)
+            if qn[r] == 1 and e_col[r] == 0 and te_col[r] == 1
+        ),
+        None,
+    )
+    if target is None:
+        pytest.skip("no in-tx frame crossing row")
+    dcol = mp.advice[ev.depth.index]
+    old = int(dcol[target + 1])
+    dcol[target + 1] = old + 1  # depth now jumps by 2 (or stays put)
+    try:
+        failures = mp.verify()
+        assert failures, "double depth jump accepted"
+        assert any("evm/depth" in str(f) for f in failures)
+    finally:
+        dcol[target + 1] = old
