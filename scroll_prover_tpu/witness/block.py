@@ -65,6 +65,9 @@ class StepWitness:
     # rwc), ...] — the evm circuit's SLOAD/SSTORE storage-row binding
     addr: int = 0
     store_ops: tuple = ()
+    # 32-byte memory WORD accesses [(offset, word, is_write, rwc), ...]
+    # (MLOAD/MSTORE binding; see TAG_MEMORY note on overlap semantics)
+    mem_ops: tuple = ()
 
 
 # rw-table tags (reference bus-mapping RwTableTag subset)
@@ -74,6 +77,10 @@ TAG_CODEHASH = 3
 TAG_STORAGE = 4
 TAG_TSTORAGE = 5  # EIP-1153 transient storage (own consistency group)
 TAG_STACK = 6  # per-frame stack slots (key = slot index, addr = call id)
+TAG_MEMORY = 7  # per-frame 32-byte memory WORDS (key = byte offset):
+# exact-offset accesses chain through read-consistency; overlapping/
+# unaligned reuse bridges via a synthesized write (documented trust
+# boundary — the compiler-standard fixed-offset pattern is the bound one)
 
 
 @dataclass
@@ -461,6 +468,16 @@ def _absorb_replay(wb: WitnessBlock, er, repl, tx_index: int) -> None:
                 (s_addr, s_slot, s_val, s_isw, s_tr, wb.rw_rows[-1].rwc)
             )
             n_attr += 1
+        # memory words, keyed by byte offset within this frame (call id)
+        mem = repl.step_mem_ops[j] if j < len(repl.step_mem_ops) else []
+        cid_full = (
+            cid_ns | repl.step_call_ids[j]
+            if j < len(repl.step_call_ids) else 0
+        )
+        step_mem = []
+        for (m_off, m_word, m_isw) in mem:
+            _emit_rw(wb, TAG_MEMORY, cid_full, m_off, m_word, m_isw)
+            step_mem.append((m_off, m_word, m_isw, wb.rw_rows[-1].rwc))
         wb.steps.append(
             StepWitness(
                 sl.op, sl.pc, sl.gas_cost, sl.depth, tx_index,
@@ -477,6 +494,7 @@ def _absorb_replay(wb: WitnessBlock, er, repl, tx_index: int) -> None:
                     repl.step_addrs[j] if j < len(repl.step_addrs) else 0
                 ),
                 store_ops=tuple(step_store),
+                mem_ops=tuple(step_mem),
             )
         )
     if n_attr < len(repl.storage_accesses):

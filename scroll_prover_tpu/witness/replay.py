@@ -137,6 +137,9 @@ class ReplayResult:
     # consumed by the evm circuit's SLOAD/SSTORE rw binding
     step_addrs: list = field(default_factory=list)
     step_store_ops: list = field(default_factory=list)
+    # per traced step: 32-byte memory WORD accesses [(offset, word,
+    # is_write), ...] for the evm circuit's MLOAD/MSTORE word binding
+    step_mem_ops: list = field(default_factory=list)
     logs: int = 0
     return_data: bytes = b""
     failed: bool = False
@@ -193,6 +196,7 @@ class _Frame:
 class Replayer:
     _cur_ops: list = None
     _cur_store: list = None
+    _cur_mem: list = None
     _next_cid: int = 0
 
     def _rec(self, call_id: int, slot: int, value: int, is_write: bool):
@@ -378,6 +382,8 @@ class Replayer:
             self.res.step_stack_ops.append(self._cur_ops)
             self._cur_store = []
             self.res.step_store_ops.append(self._cur_store)
+            self._cur_mem = []
+            self.res.step_mem_ops.append(self._cur_mem)
             self.res.step_addrs.append(f.address)
             halt = self._step(frames, f, op, log)
             if halt is not None:
@@ -635,13 +641,18 @@ class Replayer:
 
         if op == 0x51:  # MLOAD
             off = spop()
-            spush(int.from_bytes(f.mem.load(off, 32), "big"))
+            word = int.from_bytes(f.mem.load(off, 32), "big")
+            spush(word)
             res.memory_rw += 1
+            if self._cur_mem is not None:
+                self._cur_mem.append((off, word, False))
             return None
         if op == 0x52:  # MSTORE
             off, v = spop(), spop()
             f.mem.store(off, v.to_bytes(32, "big"))
             res.memory_rw += 1
+            if self._cur_mem is not None:
+                self._cur_mem.append((off, v, True))
             return None
         if op == 0x53:  # MSTORE8
             off, v = spop(), spop()

@@ -554,13 +554,14 @@ _OP_DELTAS = _op_deltas()
 
 def _op_props(op: int):
     """(f_add, f_sub, f_pop, f_dup, f_swap, f_push, kpar, delta, f_imm,
-    f_mul, f_sload, f_sstore).
+    f_mul, f_sload, f_sstore, f_mload, f_mstore).
 
     kpar doubles as the dup/swap index AND the push immediate length
     (PUSH-k pushes k code bytes; PUSH0 pushes the constant 0). f_imm
     flags push-with-immediate (0x60..0x7f); f_mul flags MUL (0x02),
     whose product check runs in the evm word-arithmetic builder; f_sload/
-    f_sstore (0x54/0x55) bind the step to its TAG_STORAGE rw row."""
+    f_sstore (0x54/0x55) bind the step to its TAG_STORAGE rw row;
+    f_mload/f_mstore (0x51/0x52) bind it to its TAG_MEMORY word row."""
     delta = _OP_DELTAS.get(op, 0)
     f = [0, 0, 0, 0, 0, 0]
     kpar = 0
@@ -568,6 +569,8 @@ def _op_props(op: int):
     f_mul = 0
     f_sload = 0
     f_sstore = 0
+    f_mload = 0
+    f_mstore = 0
     if op == 0x01:
         f[0] = 1
     elif op == 0x02:
@@ -576,6 +579,10 @@ def _op_props(op: int):
         f[1] = 1
     elif op == 0x50:
         f[2] = 1
+    elif op == 0x51:
+        f_mload = 1
+    elif op == 0x52:
+        f_mstore = 1
     elif op == 0x54:
         f_sload = 1
     elif op == 0x55:
@@ -591,7 +598,7 @@ def _op_props(op: int):
         if op > 0x5F:
             kpar = op - 0x5F
             f_imm = 1
-    return (*f, kpar, delta, f_imm, f_mul, f_sload, f_sstore)
+    return (*f, kpar, delta, f_imm, f_mul, f_sload, f_sstore, f_mload, f_mstore)
 
 
 class EvmSubCircuit:
@@ -666,6 +673,8 @@ class EvmSubCircuit:
         self.f_mul = cs.advice_column()  # MUL (word-arithmetic builder)
         self.f_sload = cs.advice_column()
         self.f_sstore = cs.advice_column()
+        self.f_mload = cs.advice_column()
+        self.f_mstore = cs.advice_column()
         self.addr = cs.advice_column()   # executing contract address
         self.srwc = cs.advice_column()   # the step's storage-row counter
         # opcode-properties fixed table
@@ -678,19 +687,23 @@ class EvmSubCircuit:
         self.t_fmul = cs.fixed_column()
         self.t_fsload = cs.fixed_column()
         self.t_fsstore = cs.fixed_column()
+        self.t_fmload = cs.fixed_column()
+        self.t_fmstore = cs.fixed_column()
 
         qs = self.q_sem.query()
         fadd, fsub, fpop, fdup, fswap, fpush = (c.query() for c in self.fl)
         fmul = self.f_mul.query()
         fsload = self.f_sload.query()
         fsstore = self.f_sstore.query()
+        fmload = self.f_mload.query()
+        fmstore = self.f_mstore.query()
         cs.lookup(
             "evm/op_props",
             [qs * self.op.query()]
             + [qs * f for f in (fadd, fsub, fpop, fdup, fswap, fpush)]
             + [qs * self.kpar.query(), qs * self.delta.query(),
                qs * self.f_imm.query(), qs * fmul, qs * fsload,
-               qs * fsstore],
+               qs * fsstore, qs * fmload, qs * fmstore],
             [
                 self.q_props.query() * e
                 for e in (
@@ -698,7 +711,8 @@ class EvmSubCircuit:
                     + [c.query() for c in self.t_fl]
                     + [self.t_kpar.query(), self.t_delta.query(),
                        self.t_fimm.query(), self.t_fmul.query(),
-                       self.t_fsload.query(), self.t_fsstore.query()]
+                       self.t_fsload.query(), self.t_fsstore.query(),
+                       self.t_fmload.query(), self.t_fmstore.query()]
                 )
             ],
         )
@@ -774,7 +788,10 @@ class EvmSubCircuit:
                 tbl,
             )
 
-        g_r1 = qs * (fadd + fsub + fmul + fpop + fswap + fsload + fsstore)
+        g_r1 = qs * (
+            fadd + fsub + fmul + fpop + fswap + fsload + fsstore
+            + fmload + fmstore
+        )
         rw_lookup("evm/rw_r1", g_r1, 0, sp - 1, a_hi, a_lo, 0)
         g_bin = qs * (fadd + fsub + fmul)
         rw_lookup("evm/rw_r2", g_bin, 1, sp - 2, b_hi, b_lo, 0)
@@ -788,6 +805,12 @@ class EvmSubCircuit:
         rw_lookup("evm/rw_sload_w", g_sl, 1, sp - 1, c_hi, c_lo, 1)
         g_ss = qs * fsstore
         rw_lookup("evm/rw_sstore_r2", g_ss, 1, sp - 2, b_hi, b_lo, 0)
+        # MLOAD/MSTORE mirror SLOAD/SSTORE stack traffic, with the word
+        # row under TAG_MEMORY (addr = call id, key = byte offset)
+        g_ml = qs * fmload
+        rw_lookup("evm/rw_mload_w", g_ml, 1, sp - 1, c_hi, c_lo, 1)
+        g_ms = qs * fmstore
+        rw_lookup("evm/rw_mstore_r2", g_ms, 1, sp - 2, b_hi, b_lo, 0)
         tbl_full = state.table_exprs_rwc_full()
         srwc_q, addr_q = self.srwc.query(), self.addr.query()
         from ..witness.block import TAG_STORAGE as _TS
@@ -807,6 +830,26 @@ class EvmSubCircuit:
                 g_ss * srwc_q, g_ss * _TS, g_ss * addr_q,
                 g_ss * a_hi, g_ss * a_lo, g_ss * b_hi, g_ss * b_lo,
                 g_ss * 1,
+            ],
+            tbl_full,
+        )
+        from ..witness.block import TAG_MEMORY as _TM
+
+        cs.lookup(
+            "evm/memory_mload",
+            [
+                g_ml * srwc_q, g_ml * _TM, g_ml * cid,
+                g_ml * a_hi, g_ml * a_lo, g_ml * c_hi, g_ml * c_lo,
+                g_ml * 0,
+            ],
+            tbl_full,
+        )
+        cs.lookup(
+            "evm/memory_mstore",
+            [
+                g_ms * srwc_q, g_ms * _TM, g_ms * cid,
+                g_ms * a_hi, g_ms * a_lo, g_ms * b_hi, g_ms * b_lo,
+                g_ms * 1,
             ],
             tbl_full,
         )
@@ -876,10 +919,13 @@ class EvmSubCircuit:
                 adv[self.f_mul.index][r] = props[9]
                 adv[self.f_sload.index][r] = props[10]
                 adv[self.f_sstore.index][r] = props[11]
+                adv[self.f_mload.index][r] = props[12]
+                adv[self.f_mstore.index][r] = props[13]
                 ops = s.stack_ops
                 fadd, fsub, fpop, fdup, fswap, fpush = props[:6]
                 fmul = props[9]
                 fsload, fsstore = props[10], props[11]
+                fmload, fmstore = props[12], props[13]
                 a = b = c = None
                 if (fsload or fsstore) and len(ops) >= 2 and s.store_ops:
                     a = ops[0][1]  # the 256-bit storage key
@@ -889,6 +935,13 @@ class EvmSubCircuit:
                         b = ops[1][1]  # stored value (stack read)
                     adv[self.addr.index][r] = s.addr
                     adv[self.srwc.index][r] = s.store_ops[0][5]
+                elif (fmload or fmstore) and len(ops) >= 2 and s.mem_ops:
+                    a = ops[0][1]  # the byte offset (stack read)
+                    if fmload:
+                        c = ops[1][1]  # loaded word (stack write)
+                    else:
+                        b = ops[1][1]  # stored word (stack read)
+                    adv[self.srwc.index][r] = s.mem_ops[0][3]
                 elif fmul and len(ops) >= 3:
                     a, b, c = ops[0][1], ops[1][1], ops[2][1]
                     mul_events.append((r, a, b, c))
@@ -956,6 +1009,8 @@ class EvmSubCircuit:
                 fixed[self.t_fmul.index][r] = props[9]
                 fixed[self.t_fsload.index][r] = props[10]
                 fixed[self.t_fsstore.index][r] = props[11]
+                fixed[self.t_fmload.index][r] = props[12]
+                fixed[self.t_fmstore.index][r] = props[13]
                 r += 1
             if mul_events:
                 b = self.wb_.begin(cs, fixed, adv, n, 0)
