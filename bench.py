@@ -59,7 +59,7 @@ REPS = 6
 STAGE_TIMEOUT = {
     "probe": 300, "tiled": 420, "fast": 300, "scan": 240, "msm": 420,
     "msm20": 560, "quotient20": 560, "prove20": 580, "chunk20": 60,
-    "ntt24": 560, "msm24": 560, "cpu": 420,
+    "ntt24": 560, "msm24": 560, "cpu": 420, "golden": 300,
 }
 # the tunnel's dispatch latency is wildly variable (a no-op jit measured
 # 6 s and 111 s the same day) and the service restarts itself after worker
@@ -433,6 +433,29 @@ def stage_chunk20() -> float:
     return -1.0
 
 
+def stage_golden() -> float:
+    """Golden conformance, CPU-only (works with the tunnel down): replay
+    the reference release's proof.data+pi.data against its released
+    evm_verifier.bin in the mini-EVM (calldata spliced at byte 384,
+    reference unit_tests.rs:32) and report the verification GAS. Returns
+    -1 when the artifacts are absent or the proof is rejected."""
+    rel = "/root/reference/release-v0.13.1"
+    try:
+        with open(os.path.join(rel, "evm_verifier.bin"), "rb") as f:
+            code = f.read()
+        with open(os.path.join(rel, "proof.data"), "rb") as f:
+            proof = f.read()
+        with open(os.path.join(rel, "pi.data"), "rb") as f:
+            pi = f.read()
+    except OSError:
+        return -1.0
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from scroll_prover_tpu.evm.interpreter import deploy_and_call
+
+    gas = deploy_and_call(code, proof[:384] + pi + proof[384:])
+    return float(gas)
+
+
 STAGES = {
     "probe": stage_probe,
     "tiled": stage_tiled,
@@ -445,6 +468,7 @@ STAGES = {
     "ntt24": stage_ntt24,
     "msm24": stage_msm24,
     "chunk20": stage_chunk20,
+    "golden": stage_golden,
     "cpu": stage_cpu,
 }
 
@@ -506,6 +530,9 @@ def main():
             ex["ntt_fr_2pow20_cpu_fallback_wall_s"] = round(cpu_dt, 6)
         if chk is not None and chk > 0:
             ex["chunk_inner_wall_s"] = round(chk, 3)
+        g_dt = _run_stage("golden")
+        if g_dt is not None and g_dt > 0:
+            ex["golden_replay_gas"] = int(g_dt)
         if ex:
             out["extra"] = ex
         print(json.dumps(out))
@@ -558,6 +585,11 @@ def main():
             # real-fixture (batch_3/chunk_10) inner proof at k=20,
             # checkpointed by scripts/prove_chunk20.py --prove
             extra["chunk_inner_wall_s"] = round(c_dt, 3)
+        g_dt = _run_stage("golden")
+        if g_dt is not None and g_dt > 0:
+            # mini-EVM accepts the reference's released proof against its
+            # released verifier bytecode (byte-exact conformance)
+            extra["golden_replay_gas"] = int(g_dt)
     print(
         json.dumps(
             {
