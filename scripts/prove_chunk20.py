@@ -91,6 +91,13 @@ def main() -> None:
         os.environ.setdefault("SPT_BUILDER_LANES", "4")
         os.environ.setdefault("SPT_BUILDER_LOOKUP_COLS", "16")
         os.environ.setdefault("SPT_KECCAK_CAP", "1000000")
+        # residency budgets (round 5): the 281-advice/153-fixed circuit's
+        # full value tables are ~14 GB packed at k=20 — over the chip.
+        # LRU value sources + a budgeted advice-coeff pool keep peak HBM
+        # ~9-10 GB; evicted/lazy columns rebuild from the host packed
+        # assignment (bit-identical, tests/test_prove_checkpoint.py)
+        os.environ.setdefault("SPT_VALS_RESIDENT", "64")
+        os.environ.setdefault("SPT_ADVICE_COEFF_RESIDENT", "120")
 
     t0 = time.time()
     if args.mock:

@@ -100,6 +100,57 @@ def _U(x):
     return fo.unpack_limbs(x) if x.shape[-1] == _NL // 2 else x
 
 
+class _ValSource:
+    """LRU-bounded device view over host packed value columns (lowmem).
+
+    The round-5 production circuit is 281 advice + 153 fixed columns —
+    ~14 GB of packed value tables at k=20, over the chip's effective
+    budget. Columns materialize on demand from the host packed arrays
+    (one h2d + unpack + to_mont each) and evict least-recently-used
+    beyond `cap`; perm-queried columns can be PINNED for the
+    grand-product phase. SPT_VALS_RESIDENT caps the pool (default
+    unbounded = the old fully-resident behavior, which every test keeps)."""
+
+    def __init__(self, cols_host):
+        from collections import OrderedDict
+
+        self.cols = cols_host
+        self.cap = int(os.environ.get("SPT_VALS_RESIDENT", "0")) or (1 << 60)
+        self.live = OrderedDict()
+        self.pinned: dict = {}
+
+    def __len__(self):
+        return len(self.cols)
+
+    def __getitem__(self, i):
+        if i in self.pinned:
+            return self.pinned[i]
+        if i in self.live:
+            self.live.move_to_end(i)
+            return self.live[i]
+        d = _P(_encode_mont(self.cols[i]))
+        self.live[i] = d
+        while len(self.live) > self.cap:
+            self.live.popitem(last=False)
+        return d
+
+    def pin(self, i):
+        if i not in self.pinned:
+            d = self.live.pop(i, None)
+            self.pinned[i] = d if d is not None else _P(_encode_mont(self.cols[i]))
+
+    def take(self, i):
+        """Load column i and DROP it from the pool (consume-as-you-go)."""
+        d = self.pinned.pop(i, None)
+        if d is None:
+            d = self.live.pop(i, None)
+        return d if d is not None else _P(_encode_mont(self.cols[i]))
+
+    def clear(self):
+        self.live.clear()
+        self.pinned.clear()
+
+
 class _LazyPoly:
     """Deferred coefficient column: materialized (packed) on demand and
     immediately droppable — phase 4-6 of a production k=20 prove would
@@ -268,6 +319,66 @@ def _intt_host_cols(dom, cols_host) -> list:
     return out
 
 
+def _advice_coeffs_lowmem(dom, src: "_ValSource", cs) -> list:
+    """Advice value source -> coefficient columns with a residency budget.
+
+    Columns are ranked by STATIC use count across gates/lookups/
+    permutation (witness-independent, same ranking idea as the coset
+    cache); the top SPT_ADVICE_COEFF_RESIDENT get materialized packed
+    coeff forms (consume-as-you-go), the rest become _LazyPoly rebuilds
+    over the host packed values. At 281 advice columns x 32 MB a full
+    coeff pool is ~9 GB — the budget keeps phases 4-6 inside HBM."""
+    cap = int(os.environ.get("SPT_ADVICE_COEFF_RESIDENT", "0")) or (1 << 60)
+    n_cols = len(src)
+    if cap >= n_cols:
+        resident = set(range(n_cols))
+    else:
+        uses: dict[int, int] = {}
+        for _, expr in cs.gates:
+            for kind, c_, _rot in expr.queries():
+                if kind == "advice":
+                    uses[c_] = uses.get(c_, 0) + 1
+        for lk in cs.lookups:
+            for e in lk.inputs + lk.tables:
+                for kind, c_, _rot in e.queries():
+                    if kind == "advice":
+                        uses[c_] = uses.get(c_, 0) + 1
+        for cref in cs.perm_columns:
+            if cref.kind == "advice":
+                uses[cref.index] = uses.get(cref.index, 0) + 2
+        order = sorted(range(n_cols), key=lambda i: -uses.get(i, 0))
+        resident = set(order[:cap])
+    out: list = [None] * n_cols
+    g = _ntt_group(dom.n)
+    batch: list[int] = []
+
+    def flush():
+        if not batch:
+            return
+        grp = [_U(src.take(j)) for j in batch]
+        if len(grp) == 1:
+            out[batch[0]] = _P(dom.intt(grp[0]))
+        else:
+            for j, e in zip(batch, dom.intt_batch(jnp.stack(grp))):
+                out[j] = _P(e)
+        np.asarray(out[batch[-1]][0, 0])  # drain so sources actually free
+        batch.clear()
+
+    for i in range(n_cols):
+        if i in resident:
+            batch.append(i)
+            if len(batch) >= g:
+                flush()
+        else:
+            src.live.pop(i, None)
+            src.pinned.pop(i, None)
+            out[i] = _LazyPoly(
+                lambda i=i: dom.intt(_encode_mont(src.cols[i]))
+            )
+    flush()
+    return out
+
+
 def _intt_consume(dom, cols: list) -> list:
     """_intt_cols that FREES each source value column as its coefficient
     form materializes, so values and coeffs never fully coexist (lowmem:
@@ -378,10 +489,15 @@ def prove(
     absorb_instances(tr, vk, instance)
 
     # --- device value tables (base domain, Montgomery form) ---------------
-    advice_dev = [_P(_encode_mont(col)) for col in advice_vals]
-    # lowmem: fixed tables are not touched until the lookup phase — defer
-    # their 3.6 GB (packed, production width) past the phase-1 MSM burst
-    fixed_dev = None if _LOWMEM else _fixed_dev(pk, n)
+    # lowmem: LRU-bounded sources instead of fully-resident pools (the
+    # production circuit's 281+153 columns are ~14 GB packed at k=20 —
+    # over the chip; SPT_VALS_RESIDENT bounds what coexists)
+    if _LOWMEM:
+        advice_dev = _ValSource(advice_vals)
+        fixed_dev = _ValSource(pk.fixed_values)
+    else:
+        advice_dev = [_P(_encode_mont(col)) for col in advice_vals]
+        fixed_dev = _fixed_dev(pk, n)
     inst_dev = [_P(_encode_mont([int(v) for v in inst[i]])) for i in range(cs.num_instance)]
     if _PACK:
         # pack the keygen outputs resident for this prove (idempotent;
@@ -439,7 +555,25 @@ def prove(
     # coexist at full width
     if _LOWMEM:
         advice_polys = None
-        _p1 = lambda: _commit_cols(advice_dev, basis="lagrange")
+
+        def _p1():
+            # stream columns through the LRU: each is loaded, committed
+            # and evictable — full-width residency never happens
+            cb = int(os.environ.get("SPT_COMMIT_BATCH", "8"))
+            out = []
+            for i in range(0, len(advice_dev), cb):
+                grp = [
+                    _U(advice_dev[j])
+                    for j in range(i, min(i + cb, len(advice_dev)))
+                ]
+                out.extend(kzg_commit_batch(srs, grp, basis="lagrange"))
+                if len(advice_dev) > cb:
+                    log.info(
+                        "commit %d/%d", min(i + cb, len(advice_dev)),
+                        len(advice_dev),
+                    )
+            return out
+
         for c in (_p1() if ckpt is None else ckpt.points("p1_advice", _p1)):
             tr.write_point(c)
     else:
@@ -450,19 +584,6 @@ def prove(
 
     _mark("advice committed")
     theta = tr.squeeze_challenge()
-    # when every lookup AND the permuted-column commits are already
-    # checkpointed, phase 2's compression never runs — the full fixed value
-    # tables need not materialize at all (phase 3 rebuilds only the
-    # permutation-queried ones)
-    _skip_p2 = (
-        ckpt is not None
-        and _LOWMEM
-        and ckpt.has_points("p2_perm")
-        and all(ckpt.has_lookup(li) for li in range(len(cs.lookups)))
-    )
-    if fixed_dev is None and not _skip_p2:
-        fixed_dev = _fixed_dev(pk, n)
-        vals_dev["fixed"] = fixed_dev
 
     # --- phase 2: lookups -------------------------------------------------
     # compressed input/table columns: theta-Horner over expressions,
@@ -553,26 +674,16 @@ def prove(
     beta = tr.squeeze_challenge()
     gamma = tr.squeeze_challenge()
     if _LOWMEM:
-        # fixed value tables served their last broad use (lookup
-        # compression); keep only the permutation-queried columns resident
-        # — phase 3's lookup numerators re-encode from the host a/s value
-        # lists, and the coeff forms are lazy over pk._fixed_np
-        _perm_fixed = {
-            c.index for c in cs.perm_columns if c.kind == "fixed"
-        }
-        if fixed_dev is None:
-            # phase 2 was fully checkpointed: only now materialize the
-            # permutation-queried fixed columns
-            fixed_dev = [
-                _P(_encode_mont(pk.fixed_values[i])) if i in _perm_fixed else None
-                for i in range(cs.num_fixed)
-            ]
-            vals_dev["fixed"] = fixed_dev
-        else:
-            for _i in range(len(fixed_dev)):
-                if _i not in _perm_fixed:
-                    _free(fixed_dev[_i])
-                    fixed_dev[_i] = None
+        # the value tables served their last broad use (lookup
+        # compression); PIN the permutation-queried columns for the
+        # grand-product walk and release everything else — phase 3's
+        # lookup numerators re-encode from the host a/s arrays, and the
+        # coeff forms are lazy over the host packed values
+        for cref in cs.perm_columns:
+            if cref.kind in ("advice", "fixed"):
+                vals_dev[cref.kind].pin(cref.index)
+        advice_dev.live.clear()
+        fixed_dev.live.clear()
 
     # --- phase 3: grand products (device scans + batched inversion) -------
     beta_b = _bcast(_mont_scalar(beta), n)
@@ -696,11 +807,13 @@ def prove(
     instance_polys = _intt_cols(dom, inst_dev)
     _hbm_probe("p4:inst")
     if _LOWMEM:
-        # value tables -> coefficient forms, consume-as-you-go: each source
-        # column is freed as its coeff form materializes, so the two
-        # representations never coexist at full width (the phase 1-3
-        # commitments already happened in the Lagrange basis)
-        advice_polys = _intt_consume(dom, advice_dev)
+        # value tables -> coefficient forms under a RESIDENCY BUDGET:
+        # the top-used columns (same static ranking as the coset cache)
+        # get materialized coeff forms; the rest stay LAZY over the host
+        # packed values (blinding rows already applied), rebuilt per use
+        # with one h2d + to_mont + iNTT. SPT_ADVICE_COEFF_RESIDENT caps
+        # the resident set (default unbounded = old behavior).
+        advice_polys = _advice_coeffs_lowmem(dom, advice_dev, cs)
         _hbm_probe("p4:advice-consumed")
         perm_z_polys = _intt_consume(dom, perm_z_devs)
         lookup_z_polys = _intt_consume(dom, lookup_z_devs)
@@ -754,7 +867,12 @@ def prove(
     # release base-domain value tables before the extended-domain walk: at
     # k=20 every retained (n, 16) array is 64 MB and the 2^22 quotient
     # phase runs within ~256 MB of the 16 GB HBM budget (round-3 OOM)
-    for _pool in (advice_dev, fixed_dev, inst_dev, perm_z_devs, lookup_z_devs):
+    for _pool in (advice_dev, fixed_dev):
+        if isinstance(_pool, _ValSource):
+            _pool.clear()
+        elif _pool:
+            _free(*_pool)
+    for _pool in (inst_dev, perm_z_devs, lookup_z_devs):
         if _pool:
             _free(*_pool)
     vals_dev = advice_dev = inst_dev = fixed_dev = None

@@ -149,3 +149,20 @@ def test_assign_cache_roundtrip(tmp_path, lowmem, monkeypatch):
     pk, vk = keygen(srs, K, circ, INST)
     proof = prove(srs, pk, circ, INST, seed=b"warm-assign")
     assert verify(srs, vk, INST, proof)
+
+
+def test_bounded_residency_identical(tmp_path, lowmem, monkeypatch):
+    """SPT_VALS_RESIDENT / SPT_ADVICE_COEFF_RESIDENT bound device
+    residency (LRU value sources + lazy advice coeffs); proof bytes must
+    be bit-identical to the unbounded path."""
+    ref, _ck = _prove_ckpt(tmp_path, "ref")
+    monkeypatch.setenv("SPT_VALS_RESIDENT", "2")
+    monkeypatch.setenv("SPT_ADVICE_COEFF_RESIDENT", "1")
+    got, _ = _prove_ckpt(tmp_path, "ref")  # resume same ckpt, bounded
+    assert got == ref
+    # and a FRESH bounded prove (no cache) still verifies
+    srs = kzg.SRS.generate(K)
+    circ = C()
+    pk, vk = keygen(srs, K, circ, INST)
+    proof = prove(srs, pk, circ, INST, seed=b"bounded")
+    assert verify(srs, vk, INST, proof)
