@@ -20,6 +20,9 @@ mkdir -p "$LOGDIR"
 if [ ! -d "$SNAP" ]; then
   mkdir -p "$SNAP"
   git -C "$REPO" archive HEAD | tar -x -C "$SNAP"
+  # the symlink target must exist or the persistent compile cache
+  # silently degrades to cold recompiles on every retry
+  mkdir -p "$REPO/.jax_cache"
   ln -sfn "$REPO/.jax_cache" "$SNAP/.jax_cache"
   git -C "$REPO" rev-parse HEAD > "$SNAP/SNAPSHOT_COMMIT"
 fi
