@@ -554,12 +554,14 @@ _OP_DELTAS = _op_deltas()
 
 def _op_props(op: int):
     """(f_add, f_sub, f_pop, f_dup, f_swap, f_push, kpar, delta, f_imm,
-    f_mul, f_sload, f_sstore, f_mload, f_mstore).
+    f_mul, f_sload, f_sstore, f_mload, f_mstore, f_div, f_mod).
 
     kpar doubles as the dup/swap index AND the push immediate length
     (PUSH-k pushes k code bytes; PUSH0 pushes the constant 0). f_imm
-    flags push-with-immediate (0x60..0x7f); f_mul flags MUL (0x02),
-    whose product check runs in the evm word-arithmetic builder; f_sload/
+    flags push-with-immediate (0x60..0x7f); f_mul flags MUL (0x02) and
+    f_div/f_mod flag DIV (0x04) / MOD (0x06) — their word-arithmetic
+    checks run in the evm builder (reference MulAddWordsGadget shape,
+    zkevm-circuits evm_circuit ExecutionState::{MUL,DIV,MOD}); f_sload/
     f_sstore (0x54/0x55) bind the step to its TAG_STORAGE rw row;
     f_mload/f_mstore (0x51/0x52) bind it to its TAG_MEMORY word row."""
     delta = _OP_DELTAS.get(op, 0)
@@ -571,10 +573,16 @@ def _op_props(op: int):
     f_sstore = 0
     f_mload = 0
     f_mstore = 0
+    f_div = 0
+    f_mod = 0
     if op == 0x01:
         f[0] = 1
     elif op == 0x02:
         f_mul = 1
+    elif op == 0x04:
+        f_div = 1
+    elif op == 0x06:
+        f_mod = 1
     elif op == 0x03:
         f[1] = 1
     elif op == 0x50:
@@ -598,7 +606,8 @@ def _op_props(op: int):
         if op > 0x5F:
             kpar = op - 0x5F
             f_imm = 1
-    return (*f, kpar, delta, f_imm, f_mul, f_sload, f_sstore, f_mload, f_mstore)
+    return (*f, kpar, delta, f_imm, f_mul, f_sload, f_sstore, f_mload,
+            f_mstore, f_div, f_mod)
 
 
 class EvmSubCircuit:
@@ -671,6 +680,8 @@ class EvmSubCircuit:
         self.cid_eq = cs.advice_column()
         self.f_imm = cs.advice_column()  # push-with-immediate (PUSH1..32)
         self.f_mul = cs.advice_column()  # MUL (word-arithmetic builder)
+        self.f_div = cs.advice_column()  # DIV (word-arithmetic builder)
+        self.f_mod = cs.advice_column()  # MOD (word-arithmetic builder)
         self.f_sload = cs.advice_column()
         self.f_sstore = cs.advice_column()
         self.f_mload = cs.advice_column()
@@ -685,6 +696,8 @@ class EvmSubCircuit:
         self.t_delta = cs.fixed_column()
         self.t_fimm = cs.fixed_column()
         self.t_fmul = cs.fixed_column()
+        self.t_fdiv = cs.fixed_column()
+        self.t_fmod = cs.fixed_column()
         self.t_fsload = cs.fixed_column()
         self.t_fsstore = cs.fixed_column()
         self.t_fmload = cs.fixed_column()
@@ -693,6 +706,8 @@ class EvmSubCircuit:
         qs = self.q_sem.query()
         fadd, fsub, fpop, fdup, fswap, fpush = (c.query() for c in self.fl)
         fmul = self.f_mul.query()
+        fdiv = self.f_div.query()
+        fmod = self.f_mod.query()
         fsload = self.f_sload.query()
         fsstore = self.f_sstore.query()
         fmload = self.f_mload.query()
@@ -703,7 +718,8 @@ class EvmSubCircuit:
             + [qs * f for f in (fadd, fsub, fpop, fdup, fswap, fpush)]
             + [qs * self.kpar.query(), qs * self.delta.query(),
                qs * self.f_imm.query(), qs * fmul, qs * fsload,
-               qs * fsstore, qs * fmload, qs * fmstore],
+               qs * fsstore, qs * fmload, qs * fmstore,
+               qs * fdiv, qs * fmod],
             [
                 self.q_props.query() * e
                 for e in (
@@ -712,7 +728,8 @@ class EvmSubCircuit:
                     + [self.t_kpar.query(), self.t_delta.query(),
                        self.t_fimm.query(), self.t_fmul.query(),
                        self.t_fsload.query(), self.t_fsstore.query(),
-                       self.t_fmload.query(), self.t_fmstore.query()]
+                       self.t_fmload.query(), self.t_fmstore.query(),
+                       self.t_fdiv.query(), self.t_fmod.query()]
                 )
             ],
         )
@@ -789,11 +806,11 @@ class EvmSubCircuit:
             )
 
         g_r1 = qs * (
-            fadd + fsub + fmul + fpop + fswap + fsload + fsstore
-            + fmload + fmstore
+            fadd + fsub + fmul + fdiv + fmod + fpop + fswap + fsload
+            + fsstore + fmload + fmstore
         )
         rw_lookup("evm/rw_r1", g_r1, 0, sp - 1, a_hi, a_lo, 0)
-        g_bin = qs * (fadd + fsub + fmul)
+        g_bin = qs * (fadd + fsub + fmul + fdiv + fmod)
         rw_lookup("evm/rw_r2", g_bin, 1, sp - 2, b_hi, b_lo, 0)
         rw_lookup("evm/rw_wbin", g_bin, 2, sp - 2, c_hi, c_lo, 1)
         # SLOAD/SSTORE: the slot key read (a, via g_r1 above), then the
@@ -889,6 +906,7 @@ class EvmSubCircuit:
         r = row0
         sem_flags = []
         mul_events = []  # (step_row, a, b, c) for the word builder
+        divmod_events = []  # (step_row, a, b, c, is_mod)
         for i, s in enumerate(wb.steps):
             ob = s.op_byte if s.op_byte >= 0 else opcode_byte(s.op)
             adv[self.step.index][r] = i + 1
@@ -921,11 +939,14 @@ class EvmSubCircuit:
                 adv[self.f_sstore.index][r] = props[11]
                 adv[self.f_mload.index][r] = props[12]
                 adv[self.f_mstore.index][r] = props[13]
+                adv[self.f_div.index][r] = props[14]
+                adv[self.f_mod.index][r] = props[15]
                 ops = s.stack_ops
                 fadd, fsub, fpop, fdup, fswap, fpush = props[:6]
                 fmul = props[9]
                 fsload, fsstore = props[10], props[11]
                 fmload, fmstore = props[12], props[13]
+                fdiv, fmod = props[14], props[15]
                 a = b = c = None
                 if (fsload or fsstore) and len(ops) >= 2 and s.store_ops:
                     a = ops[0][1]  # the 256-bit storage key
@@ -945,6 +966,9 @@ class EvmSubCircuit:
                 elif fmul and len(ops) >= 3:
                     a, b, c = ops[0][1], ops[1][1], ops[2][1]
                     mul_events.append((r, a, b, c))
+                elif (fdiv or fmod) and len(ops) >= 3:
+                    a, b, c = ops[0][1], ops[1][1], ops[2][1]
+                    divmod_events.append((r, a, b, c, bool(fmod)))
                 elif (fadd or fsub) and len(ops) >= 3:
                     a, b, c = ops[0][1], ops[1][1], ops[2][1]
                     if fadd:
@@ -1011,11 +1035,15 @@ class EvmSubCircuit:
                 fixed[self.t_fsstore.index][r] = props[11]
                 fixed[self.t_fmload.index][r] = props[12]
                 fixed[self.t_fmstore.index][r] = props[13]
+                fixed[self.t_fdiv.index][r] = props[14]
+                fixed[self.t_fmod.index][r] = props[15]
                 r += 1
-            if mul_events:
+            if mul_events or divmod_events:
                 b = self.wb_.begin(cs, fixed, adv, n, 0)
                 for step_row, av, bv, cv in mul_events:
                     self._mul_check(b, cs, step_row, av, bv, cv)
+                for step_row, av, bv, cv, is_mod in divmod_events:
+                    self._divmod_check(b, cs, step_row, av, bv, cv, is_mod)
                 self._builder_rows = b.rows_used()
         return r - row0
 
@@ -1068,6 +1096,124 @@ class EvmSubCircuit:
             [(1, t[2]), (1 << 64, t[3]), (1, carry_lo), (-1, C[2]),
              (-(1 << 64), C[3]), (-(1 << 128), carry_hi)]
         )
+
+    def _divmod_check(self, b, cs, r_step, av, bv, cv, is_mod) -> None:
+        """Constrain cv == av // bv (DIV) or av % bv (MOD), with the
+        EVM's x/0 == x%0 == 0 convention.
+
+        Shape (reference MulAddWordsGadget with overflow forced to 0,
+        zkevm-circuits evm_circuit ExecutionState::{DIV,MOD}): witness
+        quotient q and remainder rem, then constrain
+
+          q * bv + rem == av   EXACTLY over the integers,
+          rem < bv             when bv != 0 (borrow-chain word compare),
+          cv == (bv != 0) * (is_mod ? rem : q).
+
+        Integer-exactness: every limb is range-checked, so each linear
+        identity's magnitude stays < 2^200 << p. The no-overflow tail
+        (carry_hi plus every q_i*b_j with i+j >= 4) is pinned to zero in
+        two sub-2^131 sums of non-negative terms — one sum would reach
+        q3*b3*2^128 ~ 2^256 > p and could cancel mod p."""
+        M64 = (1 << 64) - 1
+        M128 = (1 << 128) - 1
+
+        def load(col_hi, col_lo, v):
+            hi, lo = v >> 128, v & M128
+            ch = b.witness(hi)
+            cs.copy(col_hi, r_step, ch.col, ch.row)
+            cl = b.witness(lo)
+            cs.copy(col_lo, r_step, cl.col, cl.row)
+            l0 = b.witness_ranged(lo & M64, 64)
+            l1 = b.witness_ranged(lo >> 64, 64)
+            b.assert_lin_zero([(1, l0), (1 << 64, l1), (-1, cl)])
+            l2 = b.witness_ranged(hi & M64, 64)
+            l3 = b.witness_ranged(hi >> 64, 64)
+            b.assert_lin_zero([(1, l2), (1 << 64, l3), (-1, ch)])
+            return [l0, l1, l2, l3], ch, cl
+
+        A, _a_h, _a_l = load(self.a_hi, self.a_lo, av)  # dividend
+        B, b_h, b_l = load(self.b_hi, self.b_lo, bv)    # divisor
+        _C, c_h, c_l = load(self.c_hi, self.c_lo, cv)   # result
+
+        qv = av // bv if bv else 0
+        rv = av % bv if bv else av
+        Q = [b.witness_ranged((qv >> (64 * i)) & M64, 64) for i in range(4)]
+        R = [b.witness_ranged((rv >> (64 * i)) & M64, 64) for i in range(4)]
+        q_l = b.lin([(1, Q[0]), (1 << 64, Q[1])])
+        q_h = b.lin([(1, Q[2]), (1 << 64, Q[3])])
+        r_l = b.lin([(1, R[0]), (1 << 64, R[1])])
+        r_h = b.lin([(1, R[2]), (1 << 64, R[3])])
+
+        # q * bv + rem == av over the integers (carries ranged, and the
+        # honest q*bv <= av < 2^256 makes every high conv term vanish)
+        t = []
+        for k_ in range(4):
+            t.append(
+                b.lin([(1, b.mul(Q[i], B[k_ - i])) for i in range(k_ + 1)])
+            )
+        t0v, t1v, t2v, t3v = (int(x.val) for x in t)
+        carry_lo_v = (
+            t0v + (t1v << 64) + (rv & M128) - (av & M128)
+        ) >> 128
+        carry_lo = b.witness_ranged(carry_lo_v, 72)
+        b.assert_lin_zero(
+            [(1, t[0]), (1 << 64, t[1]), (1, R[0]), (1 << 64, R[1]),
+             (-1, A[0]), (-(1 << 64), A[1]), (-(1 << 128), carry_lo)]
+        )
+        carry_hi_v = (
+            t2v + (t3v << 64) + (rv >> 128) + carry_lo_v - (av >> 128)
+        ) >> 128
+        carry_hi = b.witness_ranged(carry_hi_v, 72)
+        b.assert_lin_zero(
+            [(1, t[2]), (1 << 64, t[3]), (1, R[2]), (1 << 64, R[3]),
+             (1, carry_lo), (-1, A[2]), (-(1 << 64), A[3]),
+             (-(1 << 128), carry_hi)]
+        )
+        # no wrap past 2^256: both sums are of small non-negative terms
+        b.assert_lin_zero(
+            [(1, carry_hi), (1, b.mul(Q[1], B[3])), (1, b.mul(Q[2], B[2])),
+             (1, b.mul(Q[3], B[1]))]
+        )
+        b.assert_lin_zero(
+            [(1, b.mul(Q[2], B[3])), (1, b.mul(Q[3], B[2])),
+             (1, b.mul(Q[3], B[3]))]
+        )
+
+        # bv == 0 flag over halves (b_h + b_l < 2^129 cannot wrap)
+        z = b.is_zero(b.lin([(1, b_h), (1, b_l)]))
+        nz = b.lin([(-1, z)], k=1)
+
+        # rem < bv when bv != 0: b - rem - 1 decomposes into two ranged
+        # 128-bit halves with a boolean borrow. The pieces are witnessed
+        # unconditionally; the two LINKING equations are gated by nz so a
+        # zero divisor (rem == av) stays satisfiable.
+        if bv:
+            d_lo_v = (bv & M128) - (rv & M128) - 1
+            bl_v = 1 if d_lo_v < 0 else 0
+            d_lo_v += bl_v << 128
+            d_hi_v = (bv >> 128) - (rv >> 128) - bl_v
+        else:
+            bl_v = 0
+            d_lo_v = 0
+            d_hi_v = 0
+        bl = b.assert_bit(b.witness(bl_v))
+        dl0 = b.witness_ranged(d_lo_v & M64, 64)
+        dl1 = b.witness_ranged(d_lo_v >> 64, 64)
+        dh0 = b.witness_ranged(d_hi_v & M64, 64)
+        dh1 = b.witness_ranged(d_hi_v >> 64, 64)
+        e_lo = b.lin(
+            [(1, dl0), (1 << 64, dl1), (-1, b_l), (1, r_l),
+             (-(1 << 128), bl)],
+            k=1,
+        )
+        b.assert_lin_zero([(1, b.mul(nz, e_lo))])
+        e_hi = b.lin([(1, dh0), (1 << 64, dh1), (-1, b_h), (1, r_h), (1, bl)])
+        b.assert_lin_zero([(1, b.mul(nz, e_hi))])
+
+        # result: cv == nz * (is_mod ? rem : q), i.e. 0 on zero divisor
+        res_h, res_l = (r_h, r_l) if is_mod else (q_h, q_l)
+        b.assert_lin_zero([(1, b.mul(nz, res_h)), (-1, c_h)])
+        b.assert_lin_zero([(1, b.mul(nz, res_l)), (-1, c_l)])
 
 
 class StateSubCircuit:

@@ -545,6 +545,60 @@ def test_tampered_mul_result_rejected(wb_mul):
     assert fails != [], "tampered MUL result accepted"
 
 
+# ---- DIV/MOD word-arithmetic (round-5 breadth: MulAddWords + rem<b) --------
+
+
+def test_div_mod_steps_accepted(wb_mul):
+    divs = [
+        s for s in wb_mul.steps
+        if s.op_byte in (0x04, 0x06) and s.sp >= 0 and len(s.stack_ops) >= 3
+    ]
+    assert divs, "fixture slice has no replayed DIV/MOD steps"
+    # semantic sanity of the replay itself: c == a//b resp. a%b
+    for s in divs:
+        a, b, c = (op[1] for op in s.stack_ops[:3])
+        want = (a % b if s.op_byte == 0x06 else a // b) if b else 0
+        assert c == want
+    circ = ScrollSuperCircuit.new_from_block(wb_mul)
+    mp = MockProver.run(circ.min_k(), circ, circ.instance_for())
+    fails = mp.verify_par()
+    assert fails == [], [str(f) for f in fails[:5]]
+
+
+@pytest.mark.parametrize("bump", [1, 1 << 200])
+def test_tampered_div_result_rejected(wb_mul, bump):
+    # corrupt one DIV's written quotient (rw row + step cell, the
+    # best-effort adversary): q*b + r == a with r < b has no satisfying
+    # witness for a wrong quotient — off-by-one underflows the remainder,
+    # a high-limb bump overflows q*b past the dividend
+    import copy
+
+    wb2 = copy.deepcopy(wb_mul)
+    victim_step = next(
+        s for s in wb2.steps
+        if s.op_byte == 0x04 and s.sp >= 0 and len(s.stack_ops) >= 3
+        and s.stack_ops[1][1] != 0
+    )
+    c_rwc = victim_step.stack_rwc0 + 2
+    victim_row = next(r for r in wb2.rw_rows if r.rwc == c_rwc)
+    victim_row.value = (victim_row.value + bump) % (1 << 256)
+    ops = list(victim_step.stack_ops)
+    slot, val, isw = ops[2]
+    ops[2] = (slot, (val + bump) % (1 << 256), isw)
+    victim_step.stack_ops = ops
+    circ = ScrollSuperCircuit.new_from_block(wb2)
+    # rejection surfaces either as an assignment-time no-satisfying-
+    # witness assert or as a violated constraint in the mock
+    try:
+        mp = MockProver.run(circ.min_k(), circ, circ.instance_for())
+    except AssertionError as e:
+        msg = str(e)
+        assert "range_check witness" in msg or "unsatisfied" in msg
+        return
+    fails = mp.verify_par()
+    assert fails != [], "tampered DIV result accepted"
+
+
 # ---- SLOAD/SSTORE storage binding (VERDICT round-4 #6) ---------------------
 
 
