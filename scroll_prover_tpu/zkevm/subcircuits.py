@@ -554,7 +554,12 @@ _OP_DELTAS = _op_deltas()
 
 def _op_props(op: int):
     """(f_add, f_sub, f_pop, f_dup, f_swap, f_push, kpar, delta, f_imm,
-    f_mul, f_sload, f_sstore, f_mload, f_mstore, f_div, f_mod).
+    f_mul, f_sload, f_sstore, f_mload, f_mstore, f_div, f_mod, f_lt,
+    f_weq).
+
+    f_lt flags LT/GT (0x10/0x11; kpar picks the operand order so GT is
+    LT swapped) and f_weq flags EQ (0x14) — word comparators checked in
+    the builder (reference ExecutionState::CMP / LtWordGadget).
 
     kpar doubles as the dup/swap index AND the push immediate length
     (PUSH-k pushes k code bytes; PUSH0 pushes the constant 0). f_imm
@@ -575,6 +580,8 @@ def _op_props(op: int):
     f_mstore = 0
     f_div = 0
     f_mod = 0
+    f_lt = 0
+    f_weq = 0
     if op == 0x01:
         f[0] = 1
     elif op == 0x02:
@@ -583,6 +590,11 @@ def _op_props(op: int):
         f_div = 1
     elif op == 0x06:
         f_mod = 1
+    elif op in (0x10, 0x11):
+        f_lt = 1
+        kpar = op - 0x10  # 0 = LT, 1 = GT (operands swapped)
+    elif op == 0x14:
+        f_weq = 1
     elif op == 0x03:
         f[1] = 1
     elif op == 0x50:
@@ -607,7 +619,7 @@ def _op_props(op: int):
             kpar = op - 0x5F
             f_imm = 1
     return (*f, kpar, delta, f_imm, f_mul, f_sload, f_sstore, f_mload,
-            f_mstore, f_div, f_mod)
+            f_mstore, f_div, f_mod, f_lt, f_weq)
 
 
 class EvmSubCircuit:
@@ -682,6 +694,8 @@ class EvmSubCircuit:
         self.f_mul = cs.advice_column()  # MUL (word-arithmetic builder)
         self.f_div = cs.advice_column()  # DIV (word-arithmetic builder)
         self.f_mod = cs.advice_column()  # MOD (word-arithmetic builder)
+        self.f_lt = cs.advice_column()   # LT/GT (kpar = operand order)
+        self.f_weq = cs.advice_column()  # EQ (word equality)
         self.f_sload = cs.advice_column()
         self.f_sstore = cs.advice_column()
         self.f_mload = cs.advice_column()
@@ -698,6 +712,8 @@ class EvmSubCircuit:
         self.t_fmul = cs.fixed_column()
         self.t_fdiv = cs.fixed_column()
         self.t_fmod = cs.fixed_column()
+        self.t_flt = cs.fixed_column()
+        self.t_fweq = cs.fixed_column()
         self.t_fsload = cs.fixed_column()
         self.t_fsstore = cs.fixed_column()
         self.t_fmload = cs.fixed_column()
@@ -708,6 +724,8 @@ class EvmSubCircuit:
         fmul = self.f_mul.query()
         fdiv = self.f_div.query()
         fmod = self.f_mod.query()
+        flt = self.f_lt.query()
+        fweq = self.f_weq.query()
         fsload = self.f_sload.query()
         fsstore = self.f_sstore.query()
         fmload = self.f_mload.query()
@@ -719,7 +737,7 @@ class EvmSubCircuit:
             + [qs * self.kpar.query(), qs * self.delta.query(),
                qs * self.f_imm.query(), qs * fmul, qs * fsload,
                qs * fsstore, qs * fmload, qs * fmstore,
-               qs * fdiv, qs * fmod],
+               qs * fdiv, qs * fmod, qs * flt, qs * fweq],
             [
                 self.q_props.query() * e
                 for e in (
@@ -729,7 +747,8 @@ class EvmSubCircuit:
                        self.t_fimm.query(), self.t_fmul.query(),
                        self.t_fsload.query(), self.t_fsstore.query(),
                        self.t_fmload.query(), self.t_fmstore.query(),
-                       self.t_fdiv.query(), self.t_fmod.query()]
+                       self.t_fdiv.query(), self.t_fmod.query(),
+                       self.t_flt.query(), self.t_fweq.query()]
                 )
             ],
         )
@@ -806,11 +825,11 @@ class EvmSubCircuit:
             )
 
         g_r1 = qs * (
-            fadd + fsub + fmul + fdiv + fmod + fpop + fswap + fsload
-            + fsstore + fmload + fmstore
+            fadd + fsub + fmul + fdiv + fmod + flt + fweq + fpop + fswap
+            + fsload + fsstore + fmload + fmstore
         )
         rw_lookup("evm/rw_r1", g_r1, 0, sp - 1, a_hi, a_lo, 0)
-        g_bin = qs * (fadd + fsub + fmul + fdiv + fmod)
+        g_bin = qs * (fadd + fsub + fmul + fdiv + fmod + flt + fweq)
         rw_lookup("evm/rw_r2", g_bin, 1, sp - 2, b_hi, b_lo, 0)
         rw_lookup("evm/rw_wbin", g_bin, 2, sp - 2, c_hi, c_lo, 1)
         # SLOAD/SSTORE: the slot key read (a, via g_r1 above), then the
@@ -907,6 +926,7 @@ class EvmSubCircuit:
         sem_flags = []
         mul_events = []  # (step_row, a, b, c) for the word builder
         divmod_events = []  # (step_row, a, b, c, is_mod)
+        cmp_events = []  # (step_row, a, b, c, 'lt'|'gt'|'eq')
         for i, s in enumerate(wb.steps):
             ob = s.op_byte if s.op_byte >= 0 else opcode_byte(s.op)
             adv[self.step.index][r] = i + 1
@@ -941,12 +961,15 @@ class EvmSubCircuit:
                 adv[self.f_mstore.index][r] = props[13]
                 adv[self.f_div.index][r] = props[14]
                 adv[self.f_mod.index][r] = props[15]
+                adv[self.f_lt.index][r] = props[16]
+                adv[self.f_weq.index][r] = props[17]
                 ops = s.stack_ops
                 fadd, fsub, fpop, fdup, fswap, fpush = props[:6]
                 fmul = props[9]
                 fsload, fsstore = props[10], props[11]
                 fmload, fmstore = props[12], props[13]
                 fdiv, fmod = props[14], props[15]
+                flt, fweq = props[16], props[17]
                 a = b = c = None
                 if (fsload or fsstore) and len(ops) >= 2 and s.store_ops:
                     a = ops[0][1]  # the 256-bit storage key
@@ -969,6 +992,10 @@ class EvmSubCircuit:
                 elif (fdiv or fmod) and len(ops) >= 3:
                     a, b, c = ops[0][1], ops[1][1], ops[2][1]
                     divmod_events.append((r, a, b, c, bool(fmod)))
+                elif (flt or fweq) and len(ops) >= 3:
+                    a, b, c = ops[0][1], ops[1][1], ops[2][1]
+                    kind = "eq" if fweq else ("gt" if props[6] else "lt")
+                    cmp_events.append((r, a, b, c, kind))
                 elif (fadd or fsub) and len(ops) >= 3:
                     a, b, c = ops[0][1], ops[1][1], ops[2][1]
                     if fadd:
@@ -1037,13 +1064,17 @@ class EvmSubCircuit:
                 fixed[self.t_fmstore.index][r] = props[13]
                 fixed[self.t_fdiv.index][r] = props[14]
                 fixed[self.t_fmod.index][r] = props[15]
+                fixed[self.t_flt.index][r] = props[16]
+                fixed[self.t_fweq.index][r] = props[17]
                 r += 1
-            if mul_events or divmod_events:
+            if mul_events or divmod_events or cmp_events:
                 b = self.wb_.begin(cs, fixed, adv, n, 0)
                 for step_row, av, bv, cv in mul_events:
                     self._mul_check(b, cs, step_row, av, bv, cv)
                 for step_row, av, bv, cv, is_mod in divmod_events:
                     self._divmod_check(b, cs, step_row, av, bv, cv, is_mod)
+                for step_row, av, bv, cv, kind in cmp_events:
+                    self._cmp_check(b, cs, step_row, av, bv, cv, kind)
                 self._builder_rows = b.rows_used()
         return r - row0
 
@@ -1214,6 +1245,91 @@ class EvmSubCircuit:
         res_h, res_l = (r_h, r_l) if is_mod else (q_h, q_l)
         b.assert_lin_zero([(1, b.mul(nz, res_h)), (-1, c_h)])
         b.assert_lin_zero([(1, b.mul(nz, res_l)), (-1, c_l)])
+
+    def _cmp_check(self, b, cs, r_step, av, bv, cv, kind) -> None:
+        """Constrain the word comparators (reference LtWordGadget /
+        ExecutionState::CMP,EQ): LT pushes (a < b), GT pushes (a > b) =
+        LT with operands swapped, EQ pushes (a == b). The result is a
+        0/1 word (high half pinned to zero), and BOTH directions are
+        proven for LT/GT: c = 1 witnesses y - x - 1 >= 0, c = 0
+        witnesses x - y >= 0, each as two ranged 128-bit halves with a
+        boolean borrow, gated by c resp. 1-c."""
+        M64 = (1 << 64) - 1
+        M128 = (1 << 128) - 1
+
+        def load(col_hi, col_lo, v):
+            hi, lo = v >> 128, v & M128
+            ch = b.witness(hi)
+            cs.copy(col_hi, r_step, ch.col, ch.row)
+            cl = b.witness(lo)
+            cs.copy(col_lo, r_step, cl.col, cl.row)
+            l0 = b.witness_ranged(lo & M64, 64)
+            l1 = b.witness_ranged(lo >> 64, 64)
+            b.assert_lin_zero([(1, l0), (1 << 64, l1), (-1, cl)])
+            l2 = b.witness_ranged(hi & M64, 64)
+            l3 = b.witness_ranged(hi >> 64, 64)
+            b.assert_lin_zero([(1, l2), (1 << 64, l3), (-1, ch)])
+            return ch, cl
+
+        a_h, a_l = load(self.a_hi, self.a_lo, av)
+        b_h, b_l = load(self.b_hi, self.b_lo, bv)
+        c_h, c_l = load(self.c_hi, self.c_lo, cv)
+        b.assert_lin_zero([(1, c_h)])  # result is a 0/1 word
+
+        if kind == "eq":
+            z_h = b.is_zero(b.lin([(1, a_h), (-1, b_h)]))
+            z_l = b.is_zero(b.lin([(1, a_l), (-1, b_l)]))
+            b.assert_lin_zero([(1, b.mul(z_h, z_l)), (-1, c_l)])
+            return
+
+        # LT: (x, y) = (a, b); GT: swapped
+        (x_h, x_l), (y_h, y_l) = (
+            ((a_h, a_l), (b_h, b_l)) if kind == "lt" else ((b_h, b_l), (a_h, a_l))
+        )
+        xv, yv = (av, bv) if kind == "lt" else (bv, av)
+        cbit = b.assert_bit(c_l)
+        nc = b.lin([(-1, cbit)], k=1)
+        # branch A (c = 1): y - x - 1 = dA >= 0
+        if cv:
+            dA_lo_v = (yv & M128) - (xv & M128) - 1
+            blA_v = 1 if dA_lo_v < 0 else 0
+            dA_lo_v += blA_v << 128
+            dA_hi_v = (yv >> 128) - (xv >> 128) - blA_v
+        else:
+            dA_lo_v = dA_hi_v = blA_v = 0
+        blA = b.assert_bit(b.witness(blA_v))
+        dA0 = b.witness_ranged(dA_lo_v & M64, 64)
+        dA1 = b.witness_ranged(dA_lo_v >> 64, 64)
+        dA2 = b.witness_ranged(dA_hi_v & M64, 64)
+        dA3 = b.witness_ranged(dA_hi_v >> 64, 64)
+        eA_lo = b.lin(
+            [(1, dA0), (1 << 64, dA1), (-1, y_l), (1, x_l),
+             (-(1 << 128), blA)],
+            k=1,
+        )
+        b.assert_lin_zero([(1, b.mul(cbit, eA_lo))])
+        eA_hi = b.lin([(1, dA2), (1 << 64, dA3), (-1, y_h), (1, x_h), (1, blA)])
+        b.assert_lin_zero([(1, b.mul(cbit, eA_hi))])
+        # branch B (c = 0): x - y = dB >= 0
+        if not cv:
+            dB_lo_v = (xv & M128) - (yv & M128)
+            blB_v = 1 if dB_lo_v < 0 else 0
+            dB_lo_v += blB_v << 128
+            dB_hi_v = (xv >> 128) - (yv >> 128) - blB_v
+        else:
+            dB_lo_v = dB_hi_v = blB_v = 0
+        blB = b.assert_bit(b.witness(blB_v))
+        dB0 = b.witness_ranged(dB_lo_v & M64, 64)
+        dB1 = b.witness_ranged(dB_lo_v >> 64, 64)
+        dB2 = b.witness_ranged(dB_hi_v & M64, 64)
+        dB3 = b.witness_ranged(dB_hi_v >> 64, 64)
+        eB_lo = b.lin(
+            [(1, dB0), (1 << 64, dB1), (-1, x_l), (1, y_l),
+             (-(1 << 128), blB)]
+        )
+        b.assert_lin_zero([(1, b.mul(nc, eB_lo))])
+        eB_hi = b.lin([(1, dB2), (1 << 64, dB3), (-1, x_h), (1, y_h), (1, blB)])
+        b.assert_lin_zero([(1, b.mul(nc, eB_hi))])
 
 
 class StateSubCircuit:

@@ -599,6 +599,55 @@ def test_tampered_div_result_rejected(wb_mul, bump):
     assert fails != [], "tampered DIV result accepted"
 
 
+# ---- LT/GT/EQ word comparators (round-5 breadth) ---------------------------
+
+
+def test_cmp_steps_accepted(wb_mul):
+    cmps = [
+        s for s in wb_mul.steps
+        if s.op_byte in (0x10, 0x11, 0x14) and s.sp >= 0
+        and len(s.stack_ops) >= 3
+    ]
+    assert cmps, "fixture slice has no replayed LT/GT/EQ steps"
+    for s in cmps:
+        a, b, c = (op[1] for op in s.stack_ops[:3])
+        want = {0x10: int(a < b), 0x11: int(a > b), 0x14: int(a == b)}[
+            s.op_byte
+        ]
+        assert c == want
+    # (mock satisfaction of the whole fixture is asserted by
+    # test_div_mod_steps_accepted on the same witness block)
+
+
+def test_tampered_cmp_result_rejected(wb_mul):
+    # flip one comparator's pushed bit: the gated borrow-chain witnesses
+    # for the flipped direction cannot exist
+    import copy
+
+    wb2 = copy.deepcopy(wb_mul)
+    victim_step = next(
+        s for s in wb2.steps
+        if s.op_byte in (0x10, 0x11, 0x14) and s.sp >= 0
+        and len(s.stack_ops) >= 3
+    )
+    c_rwc = victim_step.stack_rwc0 + 2
+    victim_row = next(r for r in wb2.rw_rows if r.rwc == c_rwc)
+    victim_row.value ^= 1
+    ops = list(victim_step.stack_ops)
+    slot, val, isw = ops[2]
+    ops[2] = (slot, val ^ 1, isw)
+    victim_step.stack_ops = ops
+    circ = ScrollSuperCircuit.new_from_block(wb2)
+    try:
+        mp = MockProver.run(circ.min_k(), circ, circ.instance_for())
+    except AssertionError as e:
+        msg = str(e)
+        assert "range_check witness" in msg or "unsatisfied" in msg
+        return
+    fails = mp.verify_par()
+    assert fails != [], "tampered comparator result accepted"
+
+
 # ---- SLOAD/SSTORE storage binding (VERDICT round-4 #6) ---------------------
 
 
