@@ -559,7 +559,9 @@ def _op_props(op: int):
 
     f_lt flags LT/GT (0x10/0x11; kpar picks the operand order so GT is
     LT swapped) and f_weq flags EQ (0x14) — word comparators checked in
-    the builder (reference ExecutionState::CMP / LtWordGadget).
+    the builder (reference ExecutionState::CMP / LtWordGadget). f_un
+    flags the unary 1-pop-1-push ops ISZERO (0x15, kpar 0) and NOT
+    (0x19, kpar 1).
 
     kpar doubles as the dup/swap index AND the push immediate length
     (PUSH-k pushes k code bytes; PUSH0 pushes the constant 0). f_imm
@@ -582,6 +584,7 @@ def _op_props(op: int):
     f_mod = 0
     f_lt = 0
     f_weq = 0
+    f_un = 0
     if op == 0x01:
         f[0] = 1
     elif op == 0x02:
@@ -595,6 +598,9 @@ def _op_props(op: int):
         kpar = op - 0x10  # 0 = LT, 1 = GT (operands swapped)
     elif op == 0x14:
         f_weq = 1
+    elif op in (0x15, 0x19):
+        f_un = 1
+        kpar = 0 if op == 0x15 else 1  # 0 = ISZERO, 1 = NOT
     elif op == 0x03:
         f[1] = 1
     elif op == 0x50:
@@ -619,7 +625,7 @@ def _op_props(op: int):
             kpar = op - 0x5F
             f_imm = 1
     return (*f, kpar, delta, f_imm, f_mul, f_sload, f_sstore, f_mload,
-            f_mstore, f_div, f_mod, f_lt, f_weq)
+            f_mstore, f_div, f_mod, f_lt, f_weq, f_un)
 
 
 class EvmSubCircuit:
@@ -696,6 +702,7 @@ class EvmSubCircuit:
         self.f_mod = cs.advice_column()  # MOD (word-arithmetic builder)
         self.f_lt = cs.advice_column()   # LT/GT (kpar = operand order)
         self.f_weq = cs.advice_column()  # EQ (word equality)
+        self.f_un = cs.advice_column()   # ISZERO/NOT (kpar = which)
         self.f_sload = cs.advice_column()
         self.f_sstore = cs.advice_column()
         self.f_mload = cs.advice_column()
@@ -714,6 +721,7 @@ class EvmSubCircuit:
         self.t_fmod = cs.fixed_column()
         self.t_flt = cs.fixed_column()
         self.t_fweq = cs.fixed_column()
+        self.t_fun = cs.fixed_column()
         self.t_fsload = cs.fixed_column()
         self.t_fsstore = cs.fixed_column()
         self.t_fmload = cs.fixed_column()
@@ -726,6 +734,7 @@ class EvmSubCircuit:
         fmod = self.f_mod.query()
         flt = self.f_lt.query()
         fweq = self.f_weq.query()
+        fun = self.f_un.query()
         fsload = self.f_sload.query()
         fsstore = self.f_sstore.query()
         fmload = self.f_mload.query()
@@ -737,7 +746,7 @@ class EvmSubCircuit:
             + [qs * self.kpar.query(), qs * self.delta.query(),
                qs * self.f_imm.query(), qs * fmul, qs * fsload,
                qs * fsstore, qs * fmload, qs * fmstore,
-               qs * fdiv, qs * fmod, qs * flt, qs * fweq],
+               qs * fdiv, qs * fmod, qs * flt, qs * fweq, qs * fun],
             [
                 self.q_props.query() * e
                 for e in (
@@ -748,7 +757,8 @@ class EvmSubCircuit:
                        self.t_fsload.query(), self.t_fsstore.query(),
                        self.t_fmload.query(), self.t_fmstore.query(),
                        self.t_fdiv.query(), self.t_fmod.query(),
-                       self.t_flt.query(), self.t_fweq.query()]
+                       self.t_flt.query(), self.t_fweq.query(),
+                       self.t_fun.query()]
                 )
             ],
         )
@@ -825,10 +835,11 @@ class EvmSubCircuit:
             )
 
         g_r1 = qs * (
-            fadd + fsub + fmul + fdiv + fmod + flt + fweq + fpop + fswap
-            + fsload + fsstore + fmload + fmstore
+            fadd + fsub + fmul + fdiv + fmod + flt + fweq + fun + fpop
+            + fswap + fsload + fsstore + fmload + fmstore
         )
         rw_lookup("evm/rw_r1", g_r1, 0, sp - 1, a_hi, a_lo, 0)
+        rw_lookup("evm/rw_un_w", qs * fun, 1, sp - 1, c_hi, c_lo, 1)
         g_bin = qs * (fadd + fsub + fmul + fdiv + fmod + flt + fweq)
         rw_lookup("evm/rw_r2", g_bin, 1, sp - 2, b_hi, b_lo, 0)
         rw_lookup("evm/rw_wbin", g_bin, 2, sp - 2, c_hi, c_lo, 1)
@@ -927,6 +938,7 @@ class EvmSubCircuit:
         mul_events = []  # (step_row, a, b, c) for the word builder
         divmod_events = []  # (step_row, a, b, c, is_mod)
         cmp_events = []  # (step_row, a, b, c, 'lt'|'gt'|'eq')
+        un_events = []  # (step_row, a, c, is_not)
         for i, s in enumerate(wb.steps):
             ob = s.op_byte if s.op_byte >= 0 else opcode_byte(s.op)
             adv[self.step.index][r] = i + 1
@@ -963,6 +975,7 @@ class EvmSubCircuit:
                 adv[self.f_mod.index][r] = props[15]
                 adv[self.f_lt.index][r] = props[16]
                 adv[self.f_weq.index][r] = props[17]
+                adv[self.f_un.index][r] = props[18]
                 ops = s.stack_ops
                 fadd, fsub, fpop, fdup, fswap, fpush = props[:6]
                 fmul = props[9]
@@ -970,6 +983,7 @@ class EvmSubCircuit:
                 fmload, fmstore = props[12], props[13]
                 fdiv, fmod = props[14], props[15]
                 flt, fweq = props[16], props[17]
+                fun = props[18]
                 a = b = c = None
                 if (fsload or fsstore) and len(ops) >= 2 and s.store_ops:
                     a = ops[0][1]  # the 256-bit storage key
@@ -996,6 +1010,9 @@ class EvmSubCircuit:
                     a, b, c = ops[0][1], ops[1][1], ops[2][1]
                     kind = "eq" if fweq else ("gt" if props[6] else "lt")
                     cmp_events.append((r, a, b, c, kind))
+                elif fun and len(ops) >= 2:
+                    a, c = ops[0][1], ops[1][1]
+                    un_events.append((r, a, c, bool(props[6])))
                 elif (fadd or fsub) and len(ops) >= 3:
                     a, b, c = ops[0][1], ops[1][1], ops[2][1]
                     if fadd:
@@ -1066,8 +1083,9 @@ class EvmSubCircuit:
                 fixed[self.t_fmod.index][r] = props[15]
                 fixed[self.t_flt.index][r] = props[16]
                 fixed[self.t_fweq.index][r] = props[17]
+                fixed[self.t_fun.index][r] = props[18]
                 r += 1
-            if mul_events or divmod_events or cmp_events:
+            if mul_events or divmod_events or cmp_events or un_events:
                 b = self.wb_.begin(cs, fixed, adv, n, 0)
                 for step_row, av, bv, cv in mul_events:
                     self._mul_check(b, cs, step_row, av, bv, cv)
@@ -1075,6 +1093,8 @@ class EvmSubCircuit:
                     self._divmod_check(b, cs, step_row, av, bv, cv, is_mod)
                 for step_row, av, bv, cv, kind in cmp_events:
                     self._cmp_check(b, cs, step_row, av, bv, cv, kind)
+                for step_row, av, cv, is_not in un_events:
+                    self._un_check(b, cs, step_row, av, cv, is_not)
                 self._builder_rows = b.rows_used()
         return r - row0
 
@@ -1330,6 +1350,37 @@ class EvmSubCircuit:
         b.assert_lin_zero([(1, b.mul(nc, eB_lo))])
         eB_hi = b.lin([(1, dB2), (1 << 64, dB3), (-1, x_h), (1, y_h), (1, blB)])
         b.assert_lin_zero([(1, b.mul(nc, eB_hi))])
+
+    def _un_check(self, b, cs, r_step, av, cv, is_not) -> None:
+        """Unary word ops: ISZERO pushes (a == 0) as a 0/1 word; NOT
+        pushes the bitwise complement, i.e. per-half c = 2^128-1 - a —
+        exact because both halves are range-decomposed to < 2^128."""
+        M64 = (1 << 64) - 1
+        M128 = (1 << 128) - 1
+
+        def load(col_hi, col_lo, v):
+            hi, lo = v >> 128, v & M128
+            ch = b.witness(hi)
+            cs.copy(col_hi, r_step, ch.col, ch.row)
+            cl = b.witness(lo)
+            cs.copy(col_lo, r_step, cl.col, cl.row)
+            l0 = b.witness_ranged(lo & M64, 64)
+            l1 = b.witness_ranged(lo >> 64, 64)
+            b.assert_lin_zero([(1, l0), (1 << 64, l1), (-1, cl)])
+            l2 = b.witness_ranged(hi & M64, 64)
+            l3 = b.witness_ranged(hi >> 64, 64)
+            b.assert_lin_zero([(1, l2), (1 << 64, l3), (-1, ch)])
+            return ch, cl
+
+        a_h, a_l = load(self.a_hi, self.a_lo, av)
+        c_h, c_l = load(self.c_hi, self.c_lo, cv)
+        if is_not:
+            b.assert_lin_zero([(1, a_l), (1, c_l)], k=-M128)
+            b.assert_lin_zero([(1, a_h), (1, c_h)], k=-M128)
+        else:
+            b.assert_lin_zero([(1, c_h)])
+            z = b.mul(b.is_zero(a_h), b.is_zero(a_l))
+            b.assert_lin_zero([(1, z), (-1, c_l)])
 
 
 class StateSubCircuit:

@@ -648,6 +648,48 @@ def test_tampered_cmp_result_rejected(wb_mul):
     assert fails != [], "tampered comparator result accepted"
 
 
+# ---- ISZERO/NOT unary word ops (round-5 breadth) ---------------------------
+
+
+def test_unary_steps_accepted(wb_mul):
+    uns = [
+        s for s in wb_mul.steps
+        if s.op_byte in (0x15, 0x19) and s.sp >= 0 and len(s.stack_ops) >= 2
+    ]
+    assert uns, "fixture slice has no replayed ISZERO/NOT steps"
+    M256 = (1 << 256) - 1
+    for s in uns:
+        a, c = s.stack_ops[0][1], s.stack_ops[1][1]
+        want = int(a == 0) if s.op_byte == 0x15 else (M256 ^ a)
+        assert c == want
+
+
+def test_tampered_iszero_result_rejected(wb_mul):
+    import copy
+
+    wb2 = copy.deepcopy(wb_mul)
+    victim_step = next(
+        s for s in wb2.steps
+        if s.op_byte == 0x15 and s.sp >= 0 and len(s.stack_ops) >= 2
+    )
+    c_rwc = victim_step.stack_rwc0 + 1
+    victim_row = next(r for r in wb2.rw_rows if r.rwc == c_rwc)
+    victim_row.value ^= 1
+    ops = list(victim_step.stack_ops)
+    slot, val, isw = ops[1]
+    ops[1] = (slot, val ^ 1, isw)
+    victim_step.stack_ops = ops
+    circ = ScrollSuperCircuit.new_from_block(wb2)
+    try:
+        mp = MockProver.run(circ.min_k(), circ, circ.instance_for())
+    except AssertionError as e:
+        msg = str(e)
+        assert "range_check witness" in msg or "unsatisfied" in msg
+        return
+    fails = mp.verify_par()
+    assert fails != [], "tampered ISZERO result accepted"
+
+
 # ---- SLOAD/SSTORE storage binding (VERDICT round-4 #6) ---------------------
 
 
