@@ -30,8 +30,17 @@ sys.path.insert(0, REPO)
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--artifact-dir", default=None)
-    ap.add_argument("--lanes", type=int, default=16)
+    # 32 lanes pack the ~20.7M-op verifier gadget over the k=20 real
+    # inner into a k=20 domain (~647k builder rows): 224 advice columns
+    # x 32 MB beats 16-lane k=21's 149 x 64 MB on a 16 GB chip, and
+    # every domain op halves
+    ap.add_argument("--lanes", type=int, default=32)
     ap.add_argument("--lookup-cols", type=int, default=64)
+    # Keccak transcript by default: the layer1 output doubles as the
+    # EVM-facing proof (the reference's FINAL compression layer proves
+    # with a Keccak transcript for exactly this reason — SURVEY §3.2
+    # layer6). --poseidon keeps the inner-ladder transcript instead.
+    ap.add_argument("--poseidon", action="store_true")
     args = ap.parse_args()
 
     art = args.artifact_dir
@@ -88,7 +97,13 @@ def main() -> None:
     from scroll_prover_tpu.proof_system.plonk.keygen import VerifyingKey, keygen
     from scroll_prover_tpu.proof_system.plonk.prover import prove as plonk_prove
     from scroll_prover_tpu.proof_system.plonk.verifier import verify as plonk_verify
+    from scroll_prover_tpu.proof_system.transcript import (
+        KeccakTranscript, PoseidonTranscript,
+    )
     from scroll_prover_tpu.prover.verifier_circuit import VerifierCircuit
+
+    tr_cls = PoseidonTranscript if args.poseidon else KeccakTranscript
+    tr_name = "poseidon" if args.poseidon else "keccak"
 
     with open(os.path.join(art, "vk_chunk_inner.vkey"), "rb") as fh:
         inner_vk = VerifyingKey.from_bytes(fh.read())
@@ -105,7 +120,7 @@ def main() -> None:
     fp = hashlib.sha256(
         json.dumps(
             [hashlib.sha256(inner_proof).hexdigest(), k, args.lanes,
-             args.lookup_cols]
+             args.lookup_cols, tr_name]
         ).encode()
     ).hexdigest()[:16]
     ckpt = ProveCheckpoint(
@@ -124,17 +139,27 @@ def main() -> None:
     print(f"[{time.time()-t0:7.1f}s] keygen done ({time.time()-t_kg:.1f}s)", flush=True)
     ci = comp.instance_for()
     t_pr = time.time()
-    proof = plonk_prove(srs, pk, comp, ci, ckpt=ckpt)
+    proof = plonk_prove(srs, pk, comp, ci, ckpt=ckpt, transcript_cls=tr_cls)
     prove_s = time.time() - t_pr
     print(f"[{time.time()-t0:7.1f}s] layer1 prove done ({prove_s:.1f}s)", flush=True)
-    ok = plonk_verify(srs, vk, ci, proof)
+    from scroll_prover_tpu.proof_system.plonk.verifier import acc_from_limbs
+    from scroll_prover_tpu.prover.verifier_circuit import ACC_CELLS
+
+    ok = plonk_verify(
+        srs, vk, ci, proof, transcript_cls=tr_cls,
+        fold_accumulator=acc_from_limbs(ci[0][:ACC_CELLS]),
+    )
     assert ok, "layer1 proof failed verification"
-    print(f"[{time.time()-t0:7.1f}s] layer1 VERIFIED", flush=True)
+    print(
+        f"[{time.time()-t0:7.1f}s] layer1 VERIFIED ({tr_name} transcript, "
+        "inner accumulator folded)", flush=True,
+    )
 
     record = {
         "tier": "ladder-layer1",
         "k": k,
         "lanes": args.lanes,
+        "transcript": tr_name,
         "inner_proof_sha256": hashlib.sha256(inner_proof).hexdigest(),
         "proof_len": len(proof),
         "proof_sha256": hashlib.sha256(proof).hexdigest(),
@@ -146,7 +171,49 @@ def main() -> None:
         json.dump(record, fh, indent=1)
     with open(os.path.join(art, "layer1_proof.hex"), "w") as fh:
         fh.write(proof.hex())
+    with open(os.path.join(art, "vk_layer1.vkey"), "wb") as fh:
+        fh.write(vk.to_bytes())
+    from scroll_prover_tpu.prover.protocol import protocol_from_vk
+
+    with open(os.path.join(art, "layer1.protocol"), "w") as fh:
+        json.dump(protocol_from_vk(vk, len(ci[0])), fh, indent=1)
     print(json.dumps(record), flush=True)
+
+    if not args.poseidon:
+        # EVM-facing tail (reference layer6 role): emit the full
+        # in-bytecode verifier for the layer1 proof and replay it in the
+        # mini-EVM — the release-artifact core (proof + pi + verifier +
+        # gas). Failures here must not lose the proof artifacts above.
+        try:
+            from scroll_prover_tpu.evm.full_verifier import (
+                gen_full_verifier, proof_calldata,
+            )
+            from scroll_prover_tpu.evm.interpreter import deploy_and_call
+
+            t_ev = time.time()
+            code, yul = gen_full_verifier(
+                vk, srs, len(ci[0]), has_accumulator=True,
+            )
+            calldata = proof_calldata(ci[0], proof)
+            gas = deploy_and_call(code, calldata)
+            print(
+                f"[{time.time()-t0:7.1f}s] EVM verifier accepts layer1 "
+                f"proof, gas={gas} ({time.time()-t_ev:.1f}s)",
+                flush=True,
+            )
+            with open(os.path.join(art, "evm_verifier.bin"), "wb") as fh:
+                fh.write(code)
+            with open(os.path.join(art, "evm_verifier.yul"), "w") as fh:
+                fh.write(yul)
+            with open(os.path.join(art, "pi_layer1.data"), "wb") as fh:
+                fh.write(b"".join(int(v).to_bytes(32, "big") for v in ci[0]))
+            with open(os.path.join(art, "proof_layer1.data"), "wb") as fh:
+                fh.write(proof)
+            record["evm_gas"] = int(gas)
+            with open(os.path.join(art, "layer1.json"), "w") as fh:
+                json.dump(record, fh, indent=1)
+        except Exception as e:  # noqa: BLE001 — keep the proof artifacts
+            print(f"[ladder] EVM verifier stage failed: {e!r}", flush=True)
 
 
 if __name__ == "__main__":
